@@ -1,0 +1,242 @@
+"""SQP-RTI nonlinear MPC over the quadrotor horizon — the acados replacement.
+
+Reproduces the semantics of the reference's acados OCP
+(`/root/reference/src/quad_opt.py:89-156`):
+
+- LINEAR_LS cost, W = diag([q_pos(3), q_quat(4), q_vel(3), q_rate(3), r(4)])
+  with the reference's quaternion weight-averaging quirk (`quad_opt.py:126`),
+  terminal W_e = diag(q) * terminal_cost.
+- ERK (single-step RK4) shooting integrator (`solver_options.integrator_type
+  = 'ERK'`).
+- Gauss-Newton Hessian (exact for LINEAR_LS).
+- SQP_RTI: one linearize->QP->update iteration per tick, warm-started from
+  the previous solution (no shift — acados' default primal warm start).
+- u in [0, 1] box constraints (`quad_opt.py:142-144`), handled by the
+  condensed box-QP solvers in `ops/qp.py` (the HPIPM stand-in).
+
+TPU-first design: the whole solve is one pure function of
+(carry, x0, y_ref, model-args).  Linearization uses jacfwd through the RK4
+shooting map (replacing CasADi codegen + acados C sensitivities); full
+condensing is two scans + einsums; the QP is a fixed-iteration batched
+kernel.  vmap gives thousands of scenario solves per chip; `lax.scan` chains
+ticks; pjit/shard_map spreads the batch over a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .qp import solve_box_qp_pdip, solve_box_qp_projected_newton
+
+
+class MPCConfig(NamedTuple):
+    """Static MPC problem definition (hashable — safe as a jit static arg is
+    NOT needed; all fields are arrays or Python ints consumed at trace time)."""
+
+    n_nodes: int = 10            # N (`execute_trajectory.py:123`)
+    t_horizon: float = 1.0       # [s] (`execute_trajectory.py:122`)
+    q_cost: tuple = (10.0, 10.0, 10.0, 0.1, 0.1, 0.1, 0.05, 0.05, 0.05, 0.05, 0.05, 0.05)
+    r_cost: tuple = (0.1, 0.1, 0.1, 0.1)
+    terminal_cost: float = 1.0   # (`quad_opt.py:44`)
+    u_lb: float = 0.0
+    u_ub: float = 1.0
+    u_ref: float = 0.16          # hover reference control (`quad_opt.py:277,304`)
+    sqp_iters: int = 1           # 1 == RTI; >1 == full SQP per tick
+    qp_iters: int = 12
+    qp_method: str = "pdip"      # "pdip" | "projected_newton"
+
+    @property
+    def dt(self) -> float:
+        return self.t_horizon / self.n_nodes
+
+    def q_diagonal(self) -> jnp.ndarray:
+        """12 Euler-style weights -> 13 quaternion-state weights with the
+        reference's mean-insertion quirk (`quad_opt.py:122-126`)."""
+        q = jnp.asarray(self.q_cost)
+        return jnp.concatenate([q[:3], jnp.mean(q[3:6])[None], q[3:]])
+
+
+class SolverCarry(NamedTuple):
+    """Warm-started primal trajectory — the RTI state carried across ticks."""
+
+    X: jnp.ndarray  # (N+1, 13)
+    U: jnp.ndarray  # (N, 4)
+
+
+class MPCSolution(NamedTuple):
+    X: jnp.ndarray          # (N+1, 13) QP-updated state trajectory
+    U: jnp.ndarray          # (N, 4) optimal controls
+    cost: jnp.ndarray       # LS cost of the returned trajectory
+    kkt_residual: jnp.ndarray  # projected-gradient norm of the QP solution
+
+
+def init_carry(cfg: MPCConfig, x0: jnp.ndarray, u0: Optional[jnp.ndarray] = None) -> SolverCarry:
+    N = cfg.n_nodes
+    X = jnp.broadcast_to(x0, (N + 1,) + x0.shape).astype(x0.dtype)
+    if u0 is None:
+        u0 = jnp.full((4,), cfg.u_ref, dtype=x0.dtype)
+    U = jnp.broadcast_to(u0, (N, 4)).astype(x0.dtype)
+    return SolverCarry(X=X, U=U)
+
+
+class SQPSolver:
+    """Gauss-Newton SQP(-RTI) on the quadrotor OCP.
+
+    `dynamics`: continuous-time model ẋ = f(x, u, aug) — `aug` is an
+    arbitrary pytree of per-tick parameters (e.g. the RGP state whose mu_g
+    was updated online), the analogue of acados' runtime parameter vector
+    (`quad_opt.py:400-404`) except that here it is just a traced argument,
+    so "re-specializing the controller" needs no rebuild (the reference's
+    broken `retrain_controller`, `mpc_controller_node.py:410-426`, is free).
+    """
+
+    def __init__(self, cfg: MPCConfig, dynamics: Callable):
+        self.cfg = cfg
+        self.f = dynamics
+
+    # ------------------------------------------------------------------ #
+    def discrete_dynamics(self, x: jnp.ndarray, u: jnp.ndarray, dt, aug=None) -> jnp.ndarray:
+        """Single RK4 step of the model — `quad_opt.discrete_dynamics`
+        (`quad_opt.py:353-377`)."""
+        f = lambda xx, uu: self.f(xx, uu, aug)
+        k1 = f(x, u)
+        k2 = f(x + dt / 2 * k1, u)
+        k3 = f(x + dt / 2 * k2, u)
+        k4 = f(x + dt * k3, u)
+        return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    # ------------------------------------------------------------------ #
+    def _linearize(self, X: jnp.ndarray, U: jnp.ndarray, aug):
+        """Per-node discretization + sensitivities along the warm-start
+        trajectory: x+ = F(x, u), A = dF/dx, B = dF/du, defect r = F(x̄,ū) - x̄+."""
+        cfg = self.cfg
+        step = lambda x, u: self.discrete_dynamics(x, u, cfg.dt, aug)
+
+        def node(x, u):
+            xp = step(x, u)
+            A = jax.jacfwd(step, argnums=0)(x, u)
+            B = jax.jacfwd(step, argnums=1)(x, u)
+            return xp, A, B
+
+        xp, A, B = jax.vmap(node)(X[:-1], U)
+        r = xp - X[1:]
+        return A, B, r
+
+    # ------------------------------------------------------------------ #
+    def _condense(self, A, B, r, dx0):
+        """Full condensing: Δx_k = M_k Δu + d_k with
+        d_{k+1} = A_k d_k + r_k, M_{k+1} = A_k M_k + B_k E_k.
+        Returns M: (N+1, nx, nz), d: (N+1, nx)."""
+        N = self.cfg.n_nodes
+        nx, nu = A.shape[-1], B.shape[-1]
+        nz = N * nu
+        dtype = A.dtype
+
+        def body(carry, inp):
+            M_k, d_k = carry
+            A_k, B_k, r_k, k = inp
+            # place B_k into columns [k*nu, (k+1)*nu) — static unroll over k
+            E = jnp.zeros((nx, nz), dtype=dtype)
+            E = jax.lax.dynamic_update_slice(E, B_k, (0, k * nu))
+            M_next = A_k @ M_k + E
+            d_next = A_k @ d_k + r_k
+            return (M_next, d_next), (M_next, d_next)
+
+        M0 = jnp.zeros((nx, nz), dtype=dtype)
+        (_, _), (M_tail, d_tail) = jax.lax.scan(
+            body, (M0, dx0), (A, B, r, jnp.arange(N))
+        )
+        M = jnp.concatenate([M0[None], M_tail], axis=0)
+        d = jnp.concatenate([dx0[None], d_tail], axis=0)
+        return M, d
+
+    # ------------------------------------------------------------------ #
+    def _gn_step(self, X, U, x0, y_ref, y_ref_N, aug):
+        """One Gauss-Newton iteration: linearize -> condense -> box QP -> update."""
+        cfg = self.cfg
+        N = cfg.n_nodes
+        nu = U.shape[-1]
+        nz = N * nu
+        dtype = X.dtype
+
+        q = cfg.q_diagonal().astype(dtype)
+        rw = jnp.asarray(cfg.r_cost, dtype=dtype)
+        p = q * cfg.terminal_cost
+
+        A, B, r = self._linearize(X, U, aug)
+        dx0 = x0 - X[0]
+        M, d = self._condense(A, B, r, dx0)
+
+        # residuals of the warm start (before the step)
+        ex = X + d - jnp.concatenate([y_ref, y_ref_N[None]], axis=0)  # (N+1, nx)
+        eu = U - jnp.full_like(U, cfg.u_ref)                           # vs hover u_ref
+
+        # condensed Gauss-Newton Hessian/gradient:
+        # H = sum_k M_kᵀ Q M_k + M_Nᵀ P M_N + R̄ ; g likewise
+        Mx = M[:N]
+        H = jnp.einsum("kxi,x,kxj->ij", Mx, q, Mx) + jnp.einsum("xi,x,xj->ij", M[N], p, M[N])
+        H = H + jnp.kron(jnp.eye(N, dtype=dtype), jnp.diag(rw))
+        g = jnp.einsum("kxi,x,kx->i", Mx, q, ex[:N]) + jnp.einsum("xi,x,x->i", M[N], p, ex[N])
+        g = g + (eu * rw).reshape(nz)
+
+        # box bounds on z = Δu
+        lb = cfg.u_lb - U.reshape(nz)
+        ub = cfg.u_ub - U.reshape(nz)
+
+        if cfg.qp_method == "pdip":
+            z = solve_box_qp_pdip(H, g, lb, ub, iters=cfg.qp_iters)
+        else:
+            z = solve_box_qp_projected_newton(H, g, lb, ub, iters=cfg.qp_iters)
+
+        from .qp import qp_kkt_residual
+
+        kkt = qp_kkt_residual(H, g, lb, ub, z)
+
+        U_new = U + z.reshape(N, nu)
+        X_new = X + d + jnp.einsum("kxz,z->kx", M, z)
+        return X_new, U_new, kkt
+
+    # ------------------------------------------------------------------ #
+    def solve(self, carry: SolverCarry, x0: jnp.ndarray, y_ref: jnp.ndarray,
+              y_ref_N: jnp.ndarray, aug=None) -> tuple[SolverCarry, MPCSolution]:
+        """One MPC solve (the `run_optimization` analogue, `quad_opt.py:321-350`).
+
+        carry   : warm-started primal trajectory (RTI state)
+        x0      : (13,) measured state (== the lbx=ubx=x0 pin)
+        y_ref   : (N, 13) stage state references (`set_reference_trajectory`)
+        y_ref_N : (13,) terminal reference
+        aug     : per-tick model parameters (None | RGP state | GP state)
+        Returns (next warm-start carry, solution).
+        """
+        cfg = self.cfg
+        X, U = carry.X, carry.U
+
+        def one_iter(carry_xu, _):
+            X, U = carry_xu
+            X, U, kkt = self._gn_step(X, U, x0, y_ref, y_ref_N, aug)
+            return (X, U), kkt
+
+        (X, U), kkts = jax.lax.scan(one_iter, (X, U), None, length=cfg.sqp_iters)
+
+        cost = self.ls_cost(X, U, y_ref, y_ref_N)
+        sol = MPCSolution(X=X, U=U, cost=cost, kkt_residual=kkts[-1])
+        return SolverCarry(X=X, U=U), sol
+
+    # ------------------------------------------------------------------ #
+    def ls_cost(self, X, U, y_ref, y_ref_N) -> jnp.ndarray:
+        """LINEAR_LS cost value of a trajectory (acados `get_cost` analogue)."""
+        cfg = self.cfg
+        dtype = X.dtype
+        q = cfg.q_diagonal().astype(dtype)
+        rw = jnp.asarray(cfg.r_cost, dtype=dtype)
+        p = q * cfg.terminal_cost
+        ex = X[:-1] - y_ref
+        eu = U - cfg.u_ref
+        eN = X[-1] - y_ref_N
+        return 0.5 * (
+            jnp.sum(ex**2 * q) + jnp.sum(eu**2 * rw) + jnp.sum(eN**2 * p)
+        )

@@ -1,0 +1,39 @@
+"""Test environment: run everything on CPU with 8 virtual devices and x64
+enabled, so numerical parity tests against the reference's float64 logs are
+exact and multi-chip sharding tests run without TPU hardware (SURVEY §4)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+# The container's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS via jax.config — pin CPU *after* import, before any
+# backend is initialised.  The TPU tunnel is single-client; tests must never
+# touch it.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REFERENCE_DATA = pathlib.Path("/root/reference/outputs")
+
+
+@pytest.fixture(scope="session")
+def golden_gazebo_log():
+    """A reference-recorded closed-loop run (current log format): used as the
+    parity oracle for nominal dynamics (x_pred_odom == RK4(x_odom, w_odom))."""
+    import pickle
+
+    p = REFERENCE_DATA / "gazebo_simulation/data/traj2_v10_a10_gp0.pkl"
+    if not p.exists():
+        pytest.skip("reference golden data not available")
+    with open(p, "rb") as f:
+        d = pickle.load(f)
+    return {k: np.asarray(v) for k, v in d.items() if k in ("x_odom", "x_pred_odom", "w_odom", "t_odom")}

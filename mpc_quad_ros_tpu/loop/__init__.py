@@ -1,0 +1,10 @@
+from .episode import EpisodeConfig, EpisodeOutput, run_episode, make_episode_fn
+from .batch import run_episode_batch
+
+__all__ = [
+    "EpisodeConfig",
+    "EpisodeOutput",
+    "run_episode",
+    "make_episode_fn",
+    "run_episode_batch",
+]

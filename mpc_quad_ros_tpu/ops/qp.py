@@ -71,7 +71,7 @@ def solve_box_qp_pdip(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray, ub: jnp.n
         # condensed Newton matrix
         d = zl / sl + zu / su
         M = H + jnp.diag(d)
-        rhs = -(r + (mu - sl * zl) / sl - (mu - su * zu) / su)
+        rhs = -r + (mu - sl * zl) / sl - (mu - su * zu) / su
         dz = _sym_solve(M, rhs)
 
         dzl = (mu - sl * zl - zl * dz) / sl

@@ -1,0 +1,107 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh (conftest
+sets --xla_force_host_platform_device_count=8) — SURVEY §4's 'multi-node
+testing without a cluster'."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_quad_ros_tpu.models.params import hummingbird_params
+from mpc_quad_ros_tpu.models.augmented import make_mpc_dynamics
+from mpc_quad_ros_tpu.models.rgp import rgp_init
+from mpc_quad_ros_tpu.ops import MPCConfig, SQPSolver
+from mpc_quad_ros_tpu.loop import EpisodeConfig, run_episode
+from mpc_quad_ros_tpu.parallel import make_mesh, shard_episode_batch, sharded_step_fn
+
+DTYPE = jnp.float64
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def make_batch(B):
+    p = hummingbird_params(dtype=DTYPE)
+    mpc = MPCConfig(u_ref=float(p.hover_input))
+    cfg = EpisodeConfig(mpc=mpc)
+    solver = SQPSolver(mpc, make_mpc_dynamics(p))
+    T = 12
+    # simple hover-offset references per scenario
+    key = jax.random.PRNGKey(0)
+    targets = jax.random.uniform(key, (B, 3), minval=-1.0, maxval=1.0, dtype=DTYPE)
+    x_traj = jnp.zeros((B, T, 13), dtype=DTYPE)
+    x_traj = x_traj.at[:, :, 3].set(1.0)
+    x_traj = x_traj.at[:, :, 0:3].set(targets[:, None, :] + jnp.asarray([0.0, 0.0, 3.0], dtype=DTYPE))
+    x0 = jnp.zeros((B, 13), dtype=DTYPE).at[:, 3].set(1.0).at[:, 2].set(3.0)
+    rgp1 = rgp_init(jnp.linspace(-5, 5, 8, dtype=DTYPE), theta=(3.0, 0.1, 0.01))
+    rgp = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, 3) + a.shape), rgp1)
+    return cfg, solver, p, x0, x_traj, rgp, T
+
+
+def test_sharded_episode_batch_matches_single_device():
+    B = 8
+    cfg, solver, p, x0, x_traj, rgp, T = make_batch(B)
+    mesh = make_mesh(8)
+
+    def step(batch):
+        x0, traj, rgp = batch
+        final, outs = jax.vmap(
+            lambda a, b, r: run_episode(cfg, solver, p, a, b, T, rgp0=r)
+        )(x0, traj, rgp)
+        err = outs.x_odom[..., :3] - outs.x_ref[..., :3]
+        metrics = {
+            "sq_err_sum": jnp.sum(err**2),
+            "count": jnp.asarray(float(x0.shape[0])),
+        }
+        return outs, metrics
+
+    sharded = sharded_step_fn(mesh, step)
+    batch = shard_episode_batch(mesh, (x0, x_traj, rgp))
+    outs_sh, metrics = jax.jit(sharded)(batch)
+
+    # unsharded oracle
+    outs_ref, metrics_ref = step((x0, x_traj, rgp))
+
+    np.testing.assert_allclose(np.asarray(outs_sh.x_odom), np.asarray(outs_ref.x_odom), atol=1e-10)
+    np.testing.assert_allclose(float(metrics["sq_err_sum"]), float(metrics_ref["sq_err_sum"]), rtol=1e-10)
+    assert float(metrics["count"]) == B
+
+    # outputs are actually sharded over the mesh
+    shardings = {d.device for d in outs_sh.x_odom.addressable_shards}
+    assert len(shardings) == 8
+
+
+def test_uneven_to_even_padding_contract():
+    """Batch must be divisible by mesh size — document the contract."""
+    mesh = make_mesh(8)
+    cfg, solver, p, x0, x_traj, rgp, T = make_batch(4)
+
+    def step(batch):
+        (x0,) = batch
+        return x0, {"n": jnp.asarray(float(x0.shape[0]))}
+
+    sharded = sharded_step_fn(mesh, step)
+    with pytest.raises(Exception):
+        jax.jit(sharded)((x0,))
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver-facing multi-chip dry run must compile and execute."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)

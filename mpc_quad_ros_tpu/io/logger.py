@@ -1,0 +1,80 @@
+"""Episode logging: device arrays -> host pickles.
+
+Capability parity with the reference `Logger` (`/root/reference/src/Logger.py`)
+and `utils/save_dataset.py`: an append-mode dict-of-lists log plus pickle
+save/load with the same key names, so our run logs are drop-in readable by any
+reference-style analysis.  The episode loop produces whole stacked arrays in
+one shot (the scan output), so the common path is `Logger.from_episode`.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+
+def save_dict(dictionary: dict, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(dictionary, f)
+
+
+def load_dict(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class Logger:
+    """Dict-of-lists logger (`Logger.py:24-62`)."""
+
+    def __init__(self, filepath: Optional[str] = None):
+        self.dictionary: dict = {}
+        self.filepath = filepath
+
+    def clear_memory(self) -> None:
+        self.dictionary = {}
+
+    def log(self, input_dict: dict) -> None:
+        for key, val in input_dict.items():
+            self.dictionary.setdefault(key, []).append(val)
+
+    def save_log(self, filepath: Optional[str] = None) -> str:
+        path = filepath or self.filepath
+        assert path, "no filepath given"
+        if not path.endswith(".pkl"):
+            path = path + ".pkl"
+        save_dict(self.dictionary, path)
+        return path
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_episode(cls, outs, t_odom=None, filepath: Optional[str] = None,
+                     solve_time_s: Optional[float] = None) -> "Logger":
+        """Build a reference-keyed log from an `EpisodeOutput` pytree
+        (keys per `execute_trajectory.py:270-273`)."""
+        lg = cls(filepath)
+        T = np.asarray(outs.x_odom).shape[0]
+        d = {
+            "x_odom": list(np.asarray(outs.x_odom)),
+            "x_pred_odom": list(np.asarray(outs.x_pred_odom)),
+            "x_ref": list(np.asarray(outs.x_ref)),
+            "w_odom": list(np.asarray(outs.w_odom)),
+            "cost_solution": list(np.asarray(outs.cost_solution)),
+            "kkt_residual": list(np.asarray(outs.kkt_residual)),
+        }
+        if t_odom is not None:
+            d["t_odom"] = list(np.asarray(t_odom))
+        if solve_time_s is not None:
+            # amortised per-tick wall time of the jitted episode — the t_cpu
+            # analogue (`quad_opt.py:350`)
+            d["t_cpu"] = [solve_time_s / T] * T
+        if outs.rgp_mu_g_t is not None:
+            mu = np.asarray(outs.rgp_mu_g_t)
+            d["rgp_mu_g_t"] = [list(mu[k]) for k in range(T)]
+            d["v_body"] = list(np.asarray(outs.v_body))
+            d["a_drag"] = list(np.asarray(outs.a_drag))
+        lg.dictionary = d
+        return lg

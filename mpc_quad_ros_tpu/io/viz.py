@@ -1,0 +1,226 @@
+"""Post-hoc analysis and visualisation of episode logs.
+
+Capability parity with the reference `Visualiser`
+(`/root/reference/src/Visualiser.py`): the multi-panel tracking report with
+RMS errors / control / solver cost / solve-time panels (`plot_data`,
+`Visualiser.py:791-1003`), 3D flight-path plots and animations
+(`Visualiser.py:211-257`), RGP posterior-evolution figures
+(`Visualiser.py:261-783`), and the covariance-vs-peak-velocity comparison
+(`Visualiser.py:99-140`).  Re-designed around the framework's stacked-array
+logs; works headless (Agg backend).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+class Visualiser:
+    def __init__(self, data: dict):
+        """data: a reference-keyed log dict (x_odom, x_ref, w_odom, ...)."""
+        self.d = {k: np.asarray(v) for k, v in data.items() if v is not None and not _ragged(v)}
+        for k, v in data.items():
+            if k not in self.d:
+                self.d[k] = v
+
+    @classmethod
+    def from_logger(cls, logger) -> "Visualiser":
+        return cls(logger.dictionary)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Visualiser":
+        from .logger import load_dict
+
+        return cls(load_dict(path))
+
+    # ------------------------------------------------------------------ #
+    def rms_errors(self) -> dict:
+        """RMS pos/vel/quat/rate tracking errors (the metrics of
+        `Visualiser.py:805-827`)."""
+        x, r = self.d["x_odom"], self.d["x_ref"]
+        e = x - r
+        out = {
+            "rms_pos_mm": 1e3 * np.sqrt(np.mean(np.sum(e[:, 0:3] ** 2, axis=1))),
+            "rms_quat": np.sqrt(np.mean(np.sum(e[:, 3:7] ** 2, axis=1))),
+            "rms_vel_mm_s": 1e3 * np.sqrt(np.mean(np.sum(e[:, 7:10] ** 2, axis=1))),
+            "rms_rate": np.sqrt(np.mean(np.sum(e[:, 10:13] ** 2, axis=1))),
+        }
+        return out
+
+    def velocity_error_covariance(self) -> np.ndarray:
+        """Per-axis cov(v_axis, error_axis) — the paper's learning metric
+        (`Visualiser.py:99-140`, `covariance_data.csv`)."""
+        x, r = self.d["x_odom"], self.d["x_ref"]
+        covs = []
+        for ax in range(3):
+            v = x[:, 7 + ax]
+            e = x[:, ax] - r[:, ax]
+            covs.append(np.cov(np.stack([v, e]))[0, 1])
+        return np.asarray(covs)
+
+    # ------------------------------------------------------------------ #
+    def plot_data(self, save_path: Optional[str] = None, show: bool = False):
+        """The tracking report: position/velocity tracking, attitude, body
+        rates, control, pos error, solution cost, solve time."""
+        d = self.d
+        x, ref, u = d["x_odom"], d["x_ref"], d["w_odom"]
+        t = d.get("t_odom")
+        t = np.asarray(t) if t is not None else np.arange(x.shape[0])
+        rms = self.rms_errors()
+
+        fig, axes = plt.subplots(3, 3, figsize=(16, 10), dpi=100)
+        fig.suptitle(
+            f"RMS pos {rms['rms_pos_mm']:.0f} mm | RMS vel {rms['rms_vel_mm_s']:.0f} mm/s"
+        )
+
+        labels = ["x", "y", "z"]
+        for ax_i in range(3):
+            axes[0, 0].plot(t, x[:, ax_i], label=f"p{labels[ax_i]}")
+            axes[0, 0].plot(t, ref[:, ax_i], "--", lw=0.8)
+            axes[0, 1].plot(t, x[:, 7 + ax_i], label=f"v{labels[ax_i]}")
+            axes[0, 1].plot(t, ref[:, 7 + ax_i], "--", lw=0.8)
+            axes[1, 1].plot(t, x[:, 10 + ax_i], label=f"w{labels[ax_i]}")
+            axes[1, 2].plot(t, x[:, ax_i] - ref[:, ax_i], label=f"e{labels[ax_i]}")
+        axes[0, 0].set_title("position vs reference [m]")
+        axes[0, 1].set_title("velocity vs reference [m/s]")
+        axes[1, 1].set_title("body rates [rad/s]")
+        axes[1, 2].set_title("position error [m]")
+        for q_i, lab in enumerate(["qw", "qx", "qy", "qz"]):
+            axes[1, 0].plot(t, x[:, 3 + q_i], label=lab)
+        axes[1, 0].set_title("attitude quaternion")
+        for u_i in range(4):
+            axes[2, 0].plot(t, u[:, u_i], label=f"u{u_i}")
+        axes[2, 0].set_ylim(-0.05, 1.05)
+        axes[2, 0].set_title("motor activations")
+        if "cost_solution" in d:
+            axes[2, 1].plot(t, d["cost_solution"])
+            axes[2, 1].set_title("MPC solution cost")
+            axes[2, 1].set_yscale("log")
+        if "t_cpu" in d:
+            tc = np.asarray(d["t_cpu"]) * 1e3
+            axes[2, 2].plot(t, tc)
+            axes[2, 2].set_title(f"solve time [ms] avg {np.mean(tc):.3f}")
+        # XY track
+        axes[0, 2].plot(x[:, 0], x[:, 1], label="flown")
+        axes[0, 2].plot(ref[:, 0], ref[:, 1], "--", label="reference")
+        axes[0, 2].set_title("XY track [m]")
+        axes[0, 2].set_aspect("equal", adjustable="datalim")
+        for ax in axes.ravel():
+            ax.grid(True, alpha=0.3)
+            ax.legend(fontsize=6, loc="upper right")
+        fig.tight_layout()
+        return _finish(fig, save_path, show)
+
+    # ------------------------------------------------------------------ #
+    def plot_3d(self, save_path: Optional[str] = None, show: bool = False):
+        """3D flight path vs reference (`Visualiser.py:211-257` static form)."""
+        x, ref = self.d["x_odom"], self.d["x_ref"]
+        fig = plt.figure(figsize=(8, 8), dpi=100)
+        ax = fig.add_subplot(projection="3d")
+        ax.plot(x[:, 0], x[:, 1], x[:, 2], label="flown")
+        ax.plot(ref[:, 0], ref[:, 1], ref[:, 2], "--", label="reference")
+        ax.scatter(*x[0, :3], c="g", marker="o", label="start")
+        ax.scatter(*x[-1, :3], c="r", marker="x", label="end")
+        ax.set_xlabel("x [m]"), ax.set_ylabel("y [m]"), ax.set_zlabel("z [m]")
+        ax.legend()
+        return _finish(fig, save_path, show)
+
+    def create_animation(self, save_path: str, fps: int = 20, stride: int = 5):
+        """3D flight animation (`Visualiser.py:211-257`), saved as gif/mp4."""
+        from matplotlib import animation
+
+        x, ref = self.d["x_odom"], self.d["x_ref"]
+        fig = plt.figure(figsize=(6, 6), dpi=80)
+        ax = fig.add_subplot(projection="3d")
+        ax.plot(ref[:, 0], ref[:, 1], ref[:, 2], "--", lw=0.8, label="reference")
+        (line,) = ax.plot([], [], [], label="flown")
+        (dot,) = ax.plot([], [], [], "ro")
+        for setter, col in ((ax.set_xlim, 0), (ax.set_ylim, 1), (ax.set_zlim, 2)):
+            lo, hi = ref[:, col].min(), ref[:, col].max()
+            pad = 0.1 * max(hi - lo, 1.0)
+            setter(lo - pad, hi + pad)
+        frames = range(1, x.shape[0], stride)
+
+        def update(k):
+            line.set_data(x[:k, 0], x[:k, 1])
+            line.set_3d_properties(x[:k, 2])
+            dot.set_data([x[k - 1, 0]], [x[k - 1, 1]])
+            dot.set_3d_properties([x[k - 1, 2]])
+            return line, dot
+
+        anim = animation.FuncAnimation(fig, update, frames=frames, blit=False)
+        anim.save(save_path, writer=animation.PillowWriter(fps=fps))
+        plt.close(fig)
+        return save_path
+
+    # ------------------------------------------------------------------ #
+    def plot_rgp_evolution(self, save_path: Optional[str] = None, show: bool = False,
+                           ticks: Optional[list] = None):
+        """Posterior mean at the basis vectors over selected ticks, plus the
+        visited (v_body, a_drag) samples — the RGP-learning figures
+        (`Visualiser.py:261-783`)."""
+        mu = np.asarray(self.d["rgp_mu_g_t"])           # (T, 3, nb)
+        vb = np.asarray(self.d["v_body"])               # (T, 3)
+        ad = np.asarray(self.d["a_drag"])               # (T, 3)
+        T, _, nb = mu.shape
+        if ticks is None:
+            ticks = [0, T // 4, T // 2, 3 * T // 4, T - 1]
+        xyz = ["x", "y", "z"]
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4.5), dpi=100)
+        basis = self.d.get("rgp_basis_vectors")
+        for ax_i in range(3):
+            a = axes[ax_i]
+            a.scatter(vb[:, ax_i], ad[:, ax_i], s=2, alpha=0.3, label="samples")
+            xb = (np.asarray(basis)[ax_i] if basis is not None
+                  else np.linspace(vb[:, ax_i].min() - 1, vb[:, ax_i].max() + 1, nb))
+            for k in ticks:
+                a.plot(xb, mu[k, ax_i], alpha=0.3 + 0.7 * k / max(T - 1, 1),
+                       label=f"t={k}" if ax_i == 0 else None)
+            a.set_xlabel(f"v_body {xyz[ax_i]} [m/s]")
+            a.set_ylabel(f"drag accel {xyz[ax_i]} [m/s2]")
+            a.grid(alpha=0.3)
+        axes[0].legend(fontsize=6)
+        fig.suptitle("RGP posterior evolution")
+        fig.tight_layout()
+        return _finish(fig, save_path, show)
+
+    @staticmethod
+    def compare_covariance(logs: dict, save_path: Optional[str] = None, show: bool = False):
+        """cov(v, e) vs peak velocity for several runs — the gp0-vs-gp2
+        comparison of `Visualiser.py:99-140` / `covariance_data.csv`."""
+        fig, ax = plt.subplots(figsize=(7, 5), dpi=100)
+        for name, viz in logs.items():
+            v_peak = np.linalg.norm(viz.d["x_odom"][:, 7:10], axis=1).max()
+            covs = viz.velocity_error_covariance()
+            ax.scatter([v_peak] * 3, covs, label=name)
+        ax.set_xlabel("peak |v| [m/s]")
+        ax.set_ylabel("cov(v_axis, e_axis)")
+        ax.grid(alpha=0.3)
+        ax.legend()
+        return _finish(fig, save_path, show)
+
+
+def _ragged(v):
+    try:
+        a = np.asarray(v)
+        return a.dtype == object
+    except Exception:
+        return True
+
+
+def _finish(fig, save_path, show):
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    plt.close(fig)
+    return save_path

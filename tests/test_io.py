@@ -1,0 +1,155 @@
+"""IO / CLI / analysis-layer tests: logger round-trip, config matrix parsing,
+the run_sim driver in all gpe modes, DataLoaderGP labels, GP/RGP training
+CLIs, Explorer curriculum, Visualiser outputs."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mpc_quad_ros_tpu.io import Logger, SimConfig, load_dict
+from mpc_quad_ros_tpu.explorer import Explorer
+
+
+def test_logger_roundtrip(tmp_path):
+    lg = Logger(str(tmp_path / "log"))
+    for k in range(3):
+        lg.log({"x_odom": np.ones(13) * k, "t_odom": 0.1 * k})
+    path = lg.save_log()
+    d = load_dict(path)
+    assert len(d["x_odom"]) == 3
+    np.testing.assert_allclose(d["x_odom"][2], 2.0)
+    lg.clear_memory()
+    assert lg.dictionary == {}
+
+
+def test_config_matrix_reference_format(tmp_path):
+    spec = {"runs": [
+        {"gpe": 1, "trajectory": 2, "v_max": 10, "a_max": 10},
+        {"gpe": 0, "trajectory": 2, "v_max": 15, "a_max": 10},
+    ]}
+    p = tmp_path / "cmp.json"
+    p.write_text(json.dumps(spec))
+    runs = SimConfig.from_json(str(p))
+    assert len(runs) == 2
+    assert runs[0].gpe == 1 and runs[1].v_max == 15
+
+    # and the actual reference config parses
+    ref = "/root/reference/config/comparisson_config.json"
+    if os.path.exists(ref):
+        assert len(SimConfig.from_json(ref)) == 6
+
+
+def test_clamp_limits():
+    cfg = SimConfig(v_max=99.0, a_max=50.0).clamp_limits()
+    assert cfg.v_max == 30.0 and cfg.a_max == 30.0
+
+
+@pytest.fixture(scope="module")
+def short_run(tmp_path_factory):
+    """One short gp2 run through the real driver; reused by several tests."""
+    from mpc_quad_ros_tpu.run import run_sim
+    import mpc_quad_ros_tpu.run as run_mod
+
+    # monkeypatch-lite: shorten the circle for test speed
+    orig = run_mod.build_trajectory
+
+    def short_traj(cfg, x0_pos, mpc_dt):
+        from mpc_quad_ros_tpu.traj import circle_trajectory_accelerating, states_from_flat_outputs
+
+        ts, pos, vel, acc = circle_trajectory_accelerating(10.0, cfg.v_max, t_max=6.0, dt=mpc_dt)
+        return states_from_flat_outputs(np.asarray(pos), np.asarray(vel)), np.asarray(ts)
+
+    run_mod.build_trajectory = short_traj
+    try:
+        out = tmp_path_factory.mktemp("run") / "gp2_run.pkl"
+        cfg = SimConfig(gpe=2, trajectory=2, v_max=6.0, a_max=6.0, output=str(out))
+        logger, outs, extras = run_sim(cfg, verbose=False)
+        logger.save_log()
+    finally:
+        run_mod.build_trajectory = orig
+    return str(out), outs, extras
+
+
+def test_run_sim_gp2_produces_reference_keys(short_run):
+    path, outs, extras = short_run
+    d = load_dict(path)
+    for key in ("x_odom", "x_pred_odom", "x_ref", "w_odom", "cost_solution",
+                "t_odom", "t_cpu", "rgp_mu_g_t", "v_body", "a_drag"):
+        assert key in d, key
+    assert extras["rmse"] < 2.0
+
+
+def test_dataloader_labels(short_run):
+    """y = (v_body[k+1] - v_body_pred[k]) / dt, checked on a real run log."""
+    from mpc_quad_ros_tpu.models.dataloader import DataLoaderGP
+
+    path, outs, extras = short_run
+    dl = DataLoaderGP(path, number_of_training_samples=5)
+    T = len(load_dict(path)["x_odom"])
+    assert dl.X.shape == (T - 1, 3)
+    assert dl.y.shape == (T - 1, 3)
+    assert np.isfinite(dl.y).all()
+    # training points span the visited velocity range
+    assert dl.X_train.shape == (5, 3)
+    assert dl.X_train[:, 0].min() >= dl.X[:, 0].min() - 1e-9
+    assert dl.X_train[:, 0].max() <= dl.X[:, 0].max() + 1e-9
+
+
+def test_train_gp_and_rgp_cli(short_run, tmp_path):
+    from mpc_quad_ros_tpu.models.train import train_gp, train_rgp
+    from mpc_quad_ros_tpu.models.ensemble import GPEnsemble
+
+    path, outs, extras = short_run
+    gpe = train_gp(path, str(tmp_path / "gp"), n_training_samples=6, plot=False)
+    assert gpe.type == "GP"
+    loaded = GPEnsemble.fromdir(str(tmp_path / "gp"), "GP")
+    assert np.allclose(np.asarray(loaded.state.X), np.asarray(gpe.state.X))
+
+    rgpe = train_rgp(path, str(tmp_path / "rgp"), n_basis=8, plot=False)
+    assert rgpe.type == "RGP"
+    assert np.abs(np.asarray(rgpe.state.mu_g)).max() > 1e-4  # learned something
+
+
+def test_visualiser_outputs(short_run, tmp_path):
+    from mpc_quad_ros_tpu.io.viz import Visualiser
+
+    path, outs, extras = short_run
+    viz = Visualiser.from_file(path)
+    rms = viz.rms_errors()
+    assert rms["rms_pos_mm"] > 0
+    p1 = viz.plot_data(save_path=str(tmp_path / "report.png"))
+    p2 = viz.plot_3d(save_path=str(tmp_path / "flight3d.png"))
+    p3 = viz.plot_rgp_evolution(save_path=str(tmp_path / "rgp.png"))
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 1000
+    covs = viz.velocity_error_covariance()
+    assert covs.shape == (3,)
+
+
+def test_visualiser_reads_reference_log():
+    """Our Visualiser must ingest reference-recorded pickles directly."""
+    from mpc_quad_ros_tpu.io.viz import Visualiser
+
+    ref = "/root/reference/outputs/gazebo_simulation/data/traj2_v10_a10_gp0.pkl"
+    if not os.path.exists(ref):
+        pytest.skip("no reference data")
+    viz = Visualiser.from_file(ref)
+    rms = viz.rms_errors()
+    assert np.isfinite(rms["rms_pos_mm"])
+
+
+def test_explorer_curriculum():
+    ex0 = Explorer(None)
+    assert ex0.velocity_to_explore == 10.0
+
+    class FakeState:
+        X = np.stack([np.linspace(-12, 12, 5)] * 3)
+
+    class FakeGpe:
+        state = FakeState()
+
+    ex = Explorer(FakeGpe())
+    assert ex.velocity_to_explore == 20.0  # 12 + 10 capped at 20

@@ -123,12 +123,27 @@ def _initial_durations(waypoints: np.ndarray, v_max: float, a_max: float) -> np.
 
 
 def min_snap_trajectory(waypoints: np.ndarray, v_max: float, a_max: float,
-                        max_scaling_iters: int = 12) -> PiecewisePolynomial4D:
+                        max_scaling_iters: int = 12,
+                        backend: str = "auto") -> PiecewisePolynomial4D:
     """Min-snap piecewise polynomial through waypoints (N,3) honouring
     v_max / a_max, with zero yaw (genTrajectory's waypoint files carry no yaw
-    and the sampled CSV never feeds yaw to the controller)."""
+    and the sampled CSV never feeds yaw to the controller).
+
+    backend: "auto" uses the native C++ optimizer (traj/native) when its
+    shared library is available and falls back to this Python implementation;
+    "native" requires it; "python" forces the pure-numpy path.
+    """
     waypoints = np.asarray(waypoints, dtype=float)
     assert waypoints.ndim == 2 and waypoints.shape[1] == 3 and waypoints.shape[0] >= 2
+
+    if backend != "python":
+        from .native_minsnap import NativeUnavailable, native_min_snap_trajectory
+
+        try:
+            return native_min_snap_trajectory(waypoints, v_max, a_max, max_scaling_iters)
+        except NativeUnavailable:
+            if backend == "native":
+                raise
 
     T = _initial_durations(waypoints, v_max, a_max)
 

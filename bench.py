@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeated bench runs skip the ~20-40s XLA compile
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 
 def main():
     from mpc_quad_ros_tpu.models.params import hummingbird_params
@@ -53,10 +59,10 @@ def main():
 
     @jax.jit
     def batched_solve(carry, x0, y_ref, rgp):
-        def one(c, x, yr, r):
-            new_c, sol = solver.solve(c, x, yr, yr[-1], r)
-            return new_c, sol.U
-        return jax.vmap(one)(carry, x0, y_ref, rgp)
+        # batch-major path: vmapped linearize/condense + the Pallas
+        # lanes-batched IPM kernel for the condensed QPs
+        new_c, sol = solver.solve_batch(carry, x0, y_ref, y_ref[:, -1], rgp)
+        return new_c, sol.U
 
     # compile + warmup
     c, U = batched_solve(carry, x0, y_ref, rgp)

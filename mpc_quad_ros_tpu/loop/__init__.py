@@ -1,5 +1,5 @@
 from .episode import EpisodeConfig, EpisodeOutput, run_episode, make_episode_fn
-from .batch import run_episode_batch
+from .batch import run_episode_batch, run_episode_batch_fused
 
 __all__ = [
     "EpisodeConfig",
@@ -7,4 +7,5 @@ __all__ = [
     "run_episode",
     "make_episode_fn",
     "run_episode_batch",
+    "run_episode_batch_fused",
 ]

@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: lanes-batched box-QP primal-dual interior point.
+
+The HPIPM-replacement hot path.  XLA's batched `cholesky` on (B, 40, 40)
+problems costs ~20 ms per factorization at B=4096 on v5e — 12 IPM iterations
+made the QP ~90% of the MPC solve.  This kernel flips the layout: the BATCH
+dimension lives in the 128-wide lane axis, so one kernel instance solves 128
+QPs simultaneously, the Cholesky/triangular recurrences run sequentially over
+the tiny nz(=40) problem dimension, and every arithmetic op vectorises across
+lanes and sublanes.  The whole IPM — factorization, two triangular solves,
+fraction-to-the-boundary, barrier update — stays fused in VMEM with no HBM
+round-trips between iterations.
+
+All row/column addressing is done with masked full-array selects/updates
+(broadcasted_iota comparisons) — no dynamic sublane indexing, which TPU
+Mosaic does not support efficiently.
+
+Same algorithm and iteration count as `ops.qp.solve_box_qp_pdip`, which is
+the numerical oracle in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 128
+
+
+def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, L_ref, *, nz: int, iters: int):
+    """Solve LANE_TILE box-QPs: refs are lanes-last.
+
+    H_ref: (1, nz, nz, L);  g/lb/ub/z: (1, nz, L);  L_ref scratch: (nz, nz, L).
+    """
+    dtype = H_ref.dtype
+    H = H_ref[0]                    # (nz, nz, L)
+    g = g_ref[0]                    # (nz, L)
+    lb = lb_ref[0]
+    ub = ub_ref[0]
+    width = ub - lb
+
+    # index grids
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (nz, LANE_TILE), 0)          # row idx
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, LANE_TILE), 0)      # dim-0 idx
+    k3 = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, LANE_TILE), 1)      # dim-1 idx
+
+    def row_of(mat2, j):
+        """(nz, L), scalar j -> (L,): masked row extraction."""
+        return jnp.sum(jnp.where(i2 == j, mat2, 0.0), axis=0)
+
+    z = 0.5 * (lb + ub)
+    sl = z - lb
+    su = ub - z
+    zl = jnp.ones_like(z)
+    zu = jnp.ones_like(z)
+
+    def ipm_iter(_, carry):
+        z, sl, su, zl, zu = carry
+
+        gap = (jnp.sum(sl * zl, axis=0) + jnp.sum(su * zu, axis=0)) / (2 * nz)
+        mu = (0.1 * gap)[None, :]                                  # (1, L)
+
+        Hz = jnp.sum(H * z[None, :, :], axis=1)                    # (nz, L)
+        r = Hz + g - zl + zu
+        d = zl / sl + zu / su
+        rhs = -r + (mu - sl * zl) / sl - (mu - su * zu) / su
+
+        # ---- Cholesky of M = H + diag(d) ----
+        L_ref[...] = jnp.zeros((nz, nz, LANE_TILE), dtype)
+
+        def chol_col(j, _):
+            Lc = L_ref[...]
+            Lj_row = jnp.sum(jnp.where(r3 == j, Lc, 0.0), axis=0)  # L[j, :, :] (nz, L)
+            S = jnp.sum(jnp.where(k3 < j, Lc, 0.0) * Lj_row[None, :, :], axis=1)
+            Hcol = jnp.sum(jnp.where(k3 == j, H, 0.0), axis=1)     # H[:, j, :]
+            dj = row_of(d, j)
+            col = Hcol + jnp.where(i2 == j, dj[None, :], 0.0) - S
+            diag = jnp.sqrt(jnp.maximum(row_of(col, j), 1e-12))    # (L,)
+            newcol = jnp.where(
+                i2 > j, col / diag[None, :],
+                jnp.where(i2 == j, jnp.broadcast_to(diag[None, :], (nz, LANE_TILE)), 0.0),
+            )
+            L_ref[...] = jnp.where(k3 == j, newcol[:, None, :], Lc)
+            return 0
+
+        jax.lax.fori_loop(0, nz, chol_col, 0)
+
+        Lc = L_ref[...]
+
+        # ---- forward substitution: L y = rhs ----
+        def fwd(j, y):
+            Lj_row = jnp.sum(jnp.where(r3 == j, Lc, 0.0), axis=0)  # (nz, L): L[j, k, :]
+            acc = jnp.sum(jnp.where(i2 < j, Lj_row * y, 0.0), axis=0)   # (L,)
+            Ljj = row_of(Lj_row, j)
+            yj = (row_of(rhs, j) - acc) / Ljj
+            return jnp.where(i2 == j, yj[None, :], y)
+
+        y = jax.lax.fori_loop(0, nz, fwd, jnp.zeros((nz, LANE_TILE), dtype))
+
+        # ---- back substitution: L^T dz = y ----
+        def bwd(jj, dz):
+            j = nz - 1 - jj
+            Lcol = jnp.sum(jnp.where(k3 == j, Lc, 0.0), axis=1)    # (nz, L): L[i, j, :]
+            acc = jnp.sum(jnp.where(i2 > j, Lcol * dz, 0.0), axis=0)
+            Ljj = row_of(Lcol, j)
+            dzj = (row_of(y, j) - acc) / Ljj
+            return jnp.where(i2 == j, dzj[None, :], dz)
+
+        dz = jax.lax.fori_loop(0, nz, bwd, jnp.zeros((nz, LANE_TILE), dtype))
+
+        # ---- dual steps + fraction-to-the-boundary ----
+        dzl = (mu - sl * zl - zl * dz) / sl
+        dzu = (mu - su * zu + zu * dz) / su
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=0))
+
+        alpha = jnp.minimum(
+            jnp.minimum(max_step(sl, dz), max_step(su, -dz)),
+            jnp.minimum(max_step(zl, dzl), max_step(zu, dzu)),
+        )[None, :]
+
+        z = z + alpha * dz
+        sl = z - lb
+        su = ub - z
+        eps = 1e-10 * jnp.maximum(width, 1.0)
+        sl = jnp.maximum(sl, eps)
+        su = jnp.maximum(su, eps)
+        zl = jnp.maximum(zl + alpha * dzl, 1e-12)
+        zu = jnp.maximum(zu + alpha * dzu, 1e-12)
+        return (z, sl, su, zl, zu)
+
+    z, sl, su, zl, zu = jax.lax.fori_loop(0, iters, ipm_iter, (z, sl, su, zl, zu))
+    z_ref[0] = jnp.clip(z, lb, ub)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def solve_box_qp_pdip_pallas(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray,
+                             ub: jnp.ndarray, iters: int = 12,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Batched box-QP solve.  H: (B, nz, nz), g: (B, nz), bounds (nz,) or
+    (B, nz).  B is padded internally to a multiple of 128.  Returns (B, nz)."""
+    B, nz, _ = H.shape
+    dtype = H.dtype
+
+    # The masked Cholesky consumes full columns of H, so enforce exact
+    # symmetry (f32 MXU-assembled Hessians are asymmetric at ~1e-3 relative),
+    # and Jacobi-scale to keep f32 pivots well-conditioned: with
+    # s = diag(H)^-1/2, solve in z' = z/s over H' = s H s (unit diagonal).
+    H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
+    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12))  # (B, nz)
+    H = H * s[:, :, None] * s[:, None, :]
+    g = g * s
+    lb = jnp.broadcast_to(lb, (B, nz)).astype(dtype) / s
+    ub = jnp.broadcast_to(ub, (B, nz)).astype(dtype) / s
+
+    Bp = ((B + LANE_TILE - 1) // LANE_TILE) * LANE_TILE
+    if Bp != B:
+        pad = Bp - B
+        eye = jnp.broadcast_to(jnp.eye(nz, dtype=dtype), (pad, nz, nz))
+        H = jnp.concatenate([H, eye], axis=0)
+        g = jnp.concatenate([g, jnp.zeros((pad, nz), dtype)], axis=0)
+        lb = jnp.concatenate([lb, jnp.zeros((pad, nz), dtype)], axis=0)
+        ub = jnp.concatenate([ub, jnp.ones((pad, nz), dtype)], axis=0)
+
+    # lanes layout: (tiles, nz, nz, LANE) / (tiles, nz, LANE)
+    nt = Bp // LANE_TILE
+    Ht = H.reshape(nt, LANE_TILE, nz, nz).transpose(0, 2, 3, 1)
+    gt = g.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
+    lbt = lb.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
+    ubt = ub.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
+
+    kernel = functools.partial(_qp_kernel, nz=nz, iters=iters)
+    vec_spec = pl.BlockSpec((1, nz, LANE_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    zt = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, nz, nz, LANE_TILE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            vec_spec, vec_spec, vec_spec,
+        ],
+        out_specs=vec_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, nz, LANE_TILE), dtype),
+        scratch_shapes=[pltpu.VMEM((nz, nz, LANE_TILE), dtype)],
+        interpret=interpret,
+    )(Ht, gt, lbt, ubt)
+
+    zp = zt.transpose(0, 2, 1).reshape(Bp, nz)[:B]
+    return zp * s  # undo the Jacobi scaling (z = s z')

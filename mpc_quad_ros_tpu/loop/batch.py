@@ -26,11 +26,12 @@ def run_episode_batch(
     x_trajectory,                 # (B, T, 13)
     n_ticks: int,
     rgp0=None,                    # leaves with leading (B,) or None
+    gp_aug=None,                  # static pretrained GPState shared by all episodes
 ):
     """vmap `run_episode` over a leading batch dim of every argument."""
 
     def one(p, x, traj, rgp):
-        return run_episode(cfg, solver, p, x, traj, n_ticks, rgp)
+        return run_episode(cfg, solver, p, x, traj, n_ticks, rgp, gp_aug=gp_aug)
 
     if rgp0 is None:
         fn = jax.vmap(lambda p, x, tr: one(p, x, tr, None))
@@ -46,6 +47,7 @@ def run_episode_batch_fused(
     x_trajectory,                 # (B, T, 13)
     n_ticks: int,
     rgp0=None,                    # leaves with leading (B,) or None
+    gp_aug=None,                  # static pretrained GPState with leading (B,)
 ):
     """Batch-major episode scan: one scan over ticks whose body operates on
     the WHOLE scenario batch, so the condensed QPs of all episodes are solved
@@ -76,7 +78,7 @@ def run_episode_batch_fused(
         idx = jnp.clip((i + jnp.arange(N)) * cfg.control_skip, 0, T - 1)
         x_ref = x_trajectory[:, idx, :]                   # (B, N, 13)
 
-        aug = carry.rgp if use_rgp else None
+        aug = carry.rgp if use_rgp else gp_aug
         solver_carry, sol = solver.solve_batch(carry.solver, x, x_ref, x_ref[:, -1], aug)
         u = sol.U[:, 0]                                   # (B, 4)
 

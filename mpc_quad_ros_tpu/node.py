@@ -321,6 +321,36 @@ _EMPTY_RGP = jax.tree.map(
 
 
 # --------------------------------------------------------------------------- #
+class SimpleZController:
+    """Minimal altitude P-controller publishing motor powers — parity with the
+    Crazyflie hardware test node (`cf_controller_node.py:26-75`), including
+    its odometry hygiene: drop stale messages and undersample to the control
+    rate."""
+
+    def __init__(self, target_z: float = 1.0, kp: float = 0.4, hover: float = 0.3,
+                 publish: Optional[Callable] = None, min_dt: float = 0.02,
+                 max_age: float = 0.5):
+        self.target_z = target_z
+        self.kp = kp
+        self.hover = hover
+        self.publish = publish or (lambda mp: None)
+        self.min_dt = min_dt        # undersample threshold (`cf_controller_node.py:27-32`)
+        self.max_age = max_age      # stale-message threshold
+        self.last_t = -np.inf
+
+    def odometry_cb(self, x: np.ndarray, timestamp: float, now: Optional[float] = None):
+        now = timestamp if now is None else now
+        if now - timestamp > self.max_age:      # stale
+            return None
+        if timestamp - self.last_t < self.min_dt:  # undersampled
+            return None
+        self.last_t = timestamp
+        u = float(np.clip(self.hover + self.kp * (self.target_z - x[2]), 0.0, 1.0))
+        mp = MotorPower(m=np.full(4, u), stamp=timestamp)
+        self.publish(mp)
+        return mp
+
+
 class SimLoop:
     """Wire a ControllerNode to the internal plant at odometry rate —
     Gazebo-in-the-loop semantics without Gazebo (the reference's test seam,

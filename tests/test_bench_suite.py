@@ -1,0 +1,39 @@
+"""Smoke tests for the extended bench suite (CPU) + long-run f32 RGP
+numerical stability (SURVEY §7 'hard parts')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc_quad_ros_tpu.bench.suite import scaling
+from mpc_quad_ros_tpu.models.rgp import rgp_init, rgp_regress
+
+
+def test_weak_scaling_harness_runs_on_virtual_mesh():
+    res = scaling(n_devices=4, episodes_per_device=2, ticks=3)
+    assert len(res) == 4
+    for row in res:
+        assert row["tick_solves_per_s"] > 0
+        assert 0 < row["weak_scaling_efficiency"] <= 1.5
+
+
+def test_rgp_f32_long_stream_stays_stable():
+    """100k-tick episodes imply ~1e5 sequential f32 covariance updates; the
+    symmetrized update must stay finite and near-PSD throughout."""
+    st = rgp_init(jnp.linspace(-8, 8, 10, dtype=jnp.float32), theta=(3.0, 0.1, 0.01))
+    key = jax.random.PRNGKey(0)
+    xs = jax.random.uniform(key, (20000, 1), jnp.float32, -8, 8)
+    ys = -0.05 * xs**2 * jnp.sign(xs) + 0.01 * jax.random.normal(key, (20000, 1), jnp.float32)
+
+    def step(s, xy):
+        s = rgp_regress(s, xy[0], xy[1])
+        return s, s.C_g[0, 0]
+
+    final, traces = jax.lax.scan(step, st, (xs, ys))
+    assert bool(jnp.isfinite(final.mu_g).all())
+    assert bool(jnp.isfinite(final.C_g).all())
+    evals = np.linalg.eigvalsh(np.asarray(final.C_g, dtype=np.float64))
+    assert evals.min() > -1e-4
+    # posterior still tracks the function
+    err = np.abs(np.asarray(final.mu_g) - np.asarray(-0.05 * final.X**2 * jnp.sign(final.X)))
+    assert err.mean() < 0.2

@@ -127,3 +127,23 @@ def test_training_counts_multiple_runs():
     SimLoop(node, p, x_hover).run(max_ticks=3000)
     assert node.number_of_trajectories_finished == 2
     assert node.finished
+
+
+def test_simple_z_controller_hygiene():
+    """cf test-node parity: stale and undersampled odometry is dropped; the
+    P-law pushes toward the target altitude."""
+    from mpc_quad_ros_tpu.node import SimpleZController
+
+    ctrl = SimpleZController(target_z=1.0, kp=0.4, hover=0.3)
+    x_low = np.zeros(13); x_low[2] = 0.5
+    # normal message accepted
+    mp = ctrl.odometry_cb(x_low, timestamp=1.0)
+    assert mp is not None and mp.m[0] > 0.3  # below target -> above hover
+    # undersampled (too soon) dropped
+    assert ctrl.odometry_cb(x_low, timestamp=1.005) is None
+    # stale (old stamp vs now) dropped
+    assert ctrl.odometry_cb(x_low, timestamp=1.05, now=2.0) is None
+    # above target -> below hover
+    x_high = np.zeros(13); x_high[2] = 2.0
+    mp2 = ctrl.odometry_cb(x_high, timestamp=1.2)
+    assert mp2.m[0] < 0.3

@@ -32,15 +32,27 @@ import jax.numpy as jnp
 
 def replay_reference_log(log_path: str, n_nodes: int = 5, t_horizon: float = 1.0,
                          skip: int = 20, sqp_iters: int = 2, drop_tail: int = 150,
-                         dtype=None):
-    """Replay and compare.  Returns dict with per-tick |du| stats and arrays."""
+                         dtype=None, gp_path: str | None = None):
+    """Replay and compare.  Returns dict with per-tick |du| stats and arrays.
+
+    gp_path: directory of `mdl_{x,y,z}.gp` files for gp1-mode logs.  Note the
+    checked-in reference model files are of unknown vintage relative to the
+    recorded gp1 runs (the models were retrained after), so gp1 parity lands
+    around |du| ~1e-2 versus ~1e-3 for gp0.
+    """
     from ..models.params import hummingbird_params
     from ..models.augmented import make_mpc_dynamics
+    from ..models.ensemble import GPEnsemble
     from ..ops import MPCConfig, SQPSolver
     from ..ops.sqp import init_carry
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    aug = None
+    if gp_path is not None:
+        gpe = GPEnsemble.fromdir(gp_path, "GP")
+        aug = jax.tree.map(lambda a: jnp.asarray(a, dtype), gpe.state)
 
     with open(log_path, "rb") as f:
         d = pickle.load(f)
@@ -58,7 +70,7 @@ def replay_reference_log(log_path: str, n_nodes: int = 5, t_horizon: float = 1.0
     def tick(carry, k):
         idx = jnp.clip(k + skip * jnp.arange(n_nodes), 0, T - 1)
         xr = jnp.take(XR, idx, axis=0)
-        carry, sol = solver.solve(carry, X[k], xr, xr[-1], None)
+        carry, sol = solver.solve(carry, X[k], xr, xr[-1], aug)
         return carry, sol.U[0]
 
     carry0 = init_carry(cfg, X[0])

@@ -43,7 +43,14 @@ def _setup(B, dtype=jnp.float32, n_basis=10):
 
 def latency(iters: int = 200) -> dict:
     """Single-solve (B=1 effective; padded to one lane tile) latency
-    percentiles — the real-time-budget metric (reference: <=10 ms/solve)."""
+    percentiles — the real-time-budget metric (reference: <=10 ms/solve).
+
+    Measured on v5e-lite: ~27 ms p50 regardless of QP method — dominated by
+    the dispatch of the many small XLA ops in one solve (the trivial-op
+    round-trip floor is 0.08 ms), not by compute: the batched path amortizes
+    the same graph to ~15 us/solve.  Single-vehicle hard-real-time latency
+    needs a fully fused solve megakernel (future work); fleet-scale workloads
+    are throughput-bound and unaffected."""
     p, cfg, solver, carry, x0, y_ref, rgp = _setup(1)
     f = jax.jit(lambda c, x, yr, r: solver.solve_batch(c, x, yr, yr[:, -1], r)[1].U)
     jax.block_until_ready(f(carry, x0, y_ref, rgp))

@@ -120,6 +120,8 @@ def run_sim(cfg: SimConfig, verbose: bool = True):
 
     t0 = time.perf_counter()
     if cfg.batch > 1:
+        from .loop import run_episode_batch_fused
+
         B = cfg.batch
         key = jax.random.PRNGKey(cfg.seed)
         pb = randomize_params(p, key, B)
@@ -129,7 +131,18 @@ def run_sim(cfg: SimConfig, verbose: bool = True):
             jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), rgp0)
             if rgp0 is not None else None
         )
-        final, outs = run_episode_batch(ecfg, solver, pb, x0b, trajb, n_ticks, rgpb)
+        gp_augb = (
+            jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), gp_aug)
+            if gp_aug is not None else None
+        )
+        # large batches take the batch-major scan + Pallas QP kernel; small
+        # ones the vmap-of-scan path (less compile, same numerics)
+        if B >= 32:
+            final, outs = run_episode_batch_fused(ecfg, solver, pb, x0b, trajb,
+                                                  n_ticks, rgpb, gp_aug=gp_augb)
+        else:
+            final, outs = run_episode_batch(ecfg, solver, pb, x0b, trajb, n_ticks,
+                                            rgpb, gp_aug=gp_aug)
         import jax as _j
 
         _j.block_until_ready(outs.x_odom)

@@ -54,3 +54,16 @@ def test_cost_scaling_matters():
 
     r = replay_reference_log(LOGS[0])
     assert r["du_mean"] < du_unscaled / 3
+
+
+GP1_LOGS = sorted(glob.glob("/root/reference/outputs/gazebo_simulation/data/traj0_v12*gp1.pkl"))
+GP_MODELS = "/root/reference/outputs/gazebo_simulation/gp_models"
+
+
+@pytest.mark.skipif(not (GP1_LOGS and os.path.isdir(GP_MODELS)), reason="no gp1 artifacts")
+def test_gp1_replay_with_reference_model_files():
+    """gp1 mode: reference-trained GP model files load and drive the
+    augmented MPC; parity is looser (the checked-in models postdate the
+    recorded runs) but must stay within a few percent."""
+    r = replay_reference_log(GP1_LOGS[0], gp_path=GP_MODELS)
+    assert r["du_mean"] < 0.03, r

@@ -47,7 +47,11 @@ class MPCConfig(NamedTuple):
     u_ref: float = 0.16          # hover reference control (`quad_opt.py:277,304`)
     sqp_iters: int = 1           # 1 == RTI; >1 == full SQP per tick
     qp_iters: int = 12
-    qp_method: str = "pdip"      # "pdip" | "projected_newton"
+    qp_method: str = "pdip"      # "pdip" | "projected_newton" | "riccati"
+    shift_warm_start: bool = False
+    # False matches acados' default (plain primal warm start, what the
+    # reference ran); True shifts the plan one stage per tick (standard RTI
+    # practice) — markedly more stable for long horizons on fast references.
     scale_stage_by_dt: bool = True
     # acados integrates the LINEAR_LS Lagrange term over each shooting
     # interval: stage cost x dt, terminal cost unscaled.  Replaying reference
@@ -170,6 +174,9 @@ class SQPSolver:
         N = cfg.n_nodes
         nu = U.shape[-1]
 
+        if cfg.qp_method == "riccati":
+            return self._gn_step_riccati(X, U, x0, y_ref, y_ref_N, aug)
+
         H, g, lb, ub, M, d = self._assemble(X, U, x0, y_ref, y_ref_N, aug)
 
         if cfg.qp_method == "pdip":
@@ -199,6 +206,9 @@ class SQPSolver:
         """
         cfg = self.cfg
         X, U = carry.X, carry.U
+        if cfg.shift_warm_start:
+            X = jnp.concatenate([X[1:], X[-1:]], axis=0)
+            U = jnp.concatenate([U[1:], U[-1:]], axis=0)
 
         def one_iter(carry_xu, _):
             X, U = carry_xu
@@ -210,6 +220,62 @@ class SQPSolver:
         cost = self.ls_cost(X, U, y_ref, y_ref_N)
         sol = MPCSolution(X=X, U=U, cost=cost, kkt_residual=kkts[-1])
         return SolverCarry(X=X, U=U), sol
+
+    # ------------------------------------------------------------------ #
+    def _gn_step_riccati(self, X, U, x0, y_ref, y_ref_N, aug):
+        """Gauss-Newton step via the sparse Riccati recursion
+        (`ops/riccati.py`) — O(N) per iteration, for long horizons where
+        condensing's dense N*nu QP gets expensive.  Box bounds are enforced
+        by clamping the feedforward (projected LQR): exact when no bound is
+        active, approximate otherwise."""
+        from .riccati import riccati_step
+
+        cfg = self.cfg
+        N = cfg.n_nodes
+        nu = U.shape[-1]
+        dtype = X.dtype
+
+        q = cfg.q_diagonal().astype(dtype) * cfg.stage_scale
+        rw = jnp.asarray(cfg.r_cost, dtype=dtype) * cfg.stage_scale
+        p_term_diag = cfg.q_diagonal().astype(dtype) * cfg.terminal_cost
+
+        A, B, r = self._linearize(X, U, aug)
+        dx0 = x0 - X[0]
+
+        # stage-k cost references x_k (k = 0..N-1); the k=0 state term is
+        # constant w.r.t. the decisions (Δx_0 is pinned) and harmless
+        q_lin = q[None, :] * (X[:-1] - y_ref)
+        r_lin = rw[None, :] * (U - cfg.u_ref)
+        p_term = p_term_diag * (X[N] - y_ref_N)
+
+        dU, dX = riccati_step(
+            A, B, r, q, q_lin, rw, r_lin, p_term_diag, p_term, dx0=dx0,
+            u_lb=cfg.u_lb - U, u_ub=cfg.u_ub - U,
+        )
+
+        # Globalization: on long horizons a full Newton step from a stale
+        # linearization diverges (the LQR forward pass extrapolates far
+        # outside the linearization's validity).  Backtracking line search on
+        # the TRUE nonlinear-rollout cost, with the accepted trajectory taken
+        # from the nonlinear rollout (keeps the next linearization
+        # consistent).  Fixed candidate set -> vmap/scan friendly.
+        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1], dtype=dtype)
+
+        def rollout(U_c):
+            def body(x, u):
+                xn = self.discrete_dynamics(x, u, cfg.dt, aug)
+                return xn, xn
+            _, Xs = jax.lax.scan(body, x0, U_c)
+            return jnp.concatenate([x0[None], Xs], axis=0)
+
+        def candidate(alpha):
+            U_c = jnp.clip(U + alpha * dU, cfg.u_lb, cfg.u_ub)
+            X_c = rollout(U_c)
+            return U_c, X_c, self.ls_cost(X_c, U_c, y_ref, y_ref_N)
+
+        U_cand, X_cand, costs = jax.vmap(candidate)(alphas)
+        best = jnp.argmin(costs)
+        return X_cand[best], U_cand[best], jnp.asarray(0.0, dtype)
 
     # ------------------------------------------------------------------ #
     def _assemble(self, X, U, x0, y_ref, y_ref_N, aug):

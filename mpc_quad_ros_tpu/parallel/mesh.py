@@ -25,9 +25,19 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
+              backend: Optional[str] = None) -> Mesh:
+    """Mesh over the first n devices of `backend` (default platform if None).
+    Falls back to the CPU backend's virtual devices when the default platform
+    has too few — the container's sitecustomize pins the (single-chip) TPU
+    platform even when JAX_PLATFORMS=cpu is exported, but
+    `jax.devices("cpu")` still honours --xla_force_host_platform_device_count."""
+    devs = jax.devices(backend) if backend else jax.devices()
+    if n_devices is not None and len(devs) < n_devices and backend is None:
+        devs = jax.devices("cpu")
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     import numpy as np
 

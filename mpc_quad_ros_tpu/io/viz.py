@@ -192,6 +192,48 @@ class Visualiser:
         fig.tight_layout()
         return _finish(fig, save_path, show)
 
+    def create_rgp_animation(self, save_path: str, fps: int = 10, stride: int = 10):
+        """Animated RGP posterior evolution — the per-axis posterior mean at
+        the basis vectors sweeping through time alongside the drag samples
+        seen so far (`create_rgp_full_animation`, `Visualiser.py:459-670`)."""
+        from matplotlib import animation
+
+        mu = np.asarray(self.d["rgp_mu_g_t"])           # (T, 3, nb)
+        vb = np.asarray(self.d["v_body"])               # (T, 3)
+        ad = np.asarray(self.d["a_drag"])               # (T, 3)
+        basis = self.d.get("rgp_basis_vectors")
+        T, _, nb = mu.shape
+        xyz = ["x", "y", "z"]
+
+        fig, axes = plt.subplots(1, 3, figsize=(13, 4), dpi=80)
+        scats, lines = [], []
+        for ax_i, a in enumerate(axes):
+            xb = (np.asarray(basis)[ax_i] if basis is not None
+                  else np.linspace(np.min(vb[:, ax_i]) - 1, np.max(vb[:, ax_i]) + 1, nb))
+            a.set_xlim(xb.min() - 0.5, xb.max() + 0.5)
+            lo, hi = min(ad[:, ax_i].min(), mu[:, ax_i].min()), max(ad[:, ax_i].max(), mu[:, ax_i].max())
+            pad = 0.1 * max(hi - lo, 0.1)
+            a.set_ylim(lo - pad, hi + pad)
+            scats.append(a.scatter([], [], s=3, alpha=0.4))
+            (ln,) = a.plot(xb, mu[0, ax_i], "C1.-")
+            lines.append((ln, xb))
+            a.set_xlabel(f"v_body {xyz[ax_i]} [m/s]")
+            a.grid(alpha=0.3)
+        title = fig.suptitle("RGP posterior, t=0")
+
+        def update(k):
+            for ax_i in range(3):
+                scats[ax_i].set_offsets(np.stack([vb[:k + 1, ax_i], ad[:k + 1, ax_i]], axis=1))
+                ln, xb = lines[ax_i]
+                ln.set_data(xb, mu[k, ax_i])
+            title.set_text(f"RGP posterior, t={k}")
+            return scats + [ln for ln, _ in lines]
+
+        anim = animation.FuncAnimation(fig, update, frames=range(0, T, stride), blit=False)
+        anim.save(save_path, writer=animation.PillowWriter(fps=fps))
+        plt.close(fig)
+        return save_path
+
     @staticmethod
     def compare_covariance(logs: dict, save_path: Optional[str] = None, show: bool = False):
         """cov(v, e) vs peak velocity for several runs — the gp0-vs-gp2

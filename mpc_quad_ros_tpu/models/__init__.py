@@ -11,6 +11,11 @@ from .dynamics import (
 from .rgp import RGPState, rgp_init, rgp_kernel_matrix, rgp_predict, rgp_predict_using_y, rgp_regress, rgp_learn
 from .gp import GPState, gp_init, gp_predict, gp_nll, gp_fit
 from .ensemble import GPEnsemble
+from .selection import (
+    prune_dataset,
+    distance_maximizing_points,
+    sample_random_points,
+)
 
 __all__ = [
     "QuadParams",
@@ -34,4 +39,7 @@ __all__ = [
     "gp_nll",
     "gp_fit",
     "GPEnsemble",
+    "prune_dataset",
+    "distance_maximizing_points",
+    "sample_random_points",
 ]

@@ -2,6 +2,7 @@ from .circle import (
     circle_trajectory_accelerating,
     circle_trajectory_constant,
     circle_trajectory_acc_dec,
+    square_trajectory,
 )
 from .waypoints import random_waypoints, line_waypoints
 from .polynomial import PiecewisePolynomial4D, sample_polynomial_trajectory
@@ -12,6 +13,7 @@ __all__ = [
     "circle_trajectory_accelerating",
     "circle_trajectory_constant",
     "circle_trajectory_acc_dec",
+    "square_trajectory",
     "random_waypoints",
     "line_waypoints",
     "PiecewisePolynomial4D",

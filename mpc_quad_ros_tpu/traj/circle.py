@@ -77,3 +77,26 @@ def circle_trajectory_acc_dec(radius, v_max, dt=0.01, start_point=(0.0, 0.0, 0.0
     cos, sin = jnp.cos(phi), jnp.sin(phi)
     acc = jnp.stack([-radius * acc_w * cos, -radius * acc_w * sin, jnp.zeros_like(w)], axis=-1)
     return _assemble(ts, w, phi, radius, start_point, acc)
+
+
+def square_trajectory(n: int = 10, dt: float = 0.1, v: float = 3.0) -> np.ndarray:
+    """Six-segment axis-aligned square reference at constant speed `v`
+    (`/root/reference/src/utils/utils.py:853-894`): hold, +x, +y, -x, -y,
+    hold.  Returns an (N,13) state array (identity attitude, zero rates) like
+    the reference's 13-state trajectory format.
+    """
+    t_section = np.arange(0.0, n * dt / 6.0, dt)
+    dirs = np.array([[0, 0, 0], [v, 0, 0], [0, v, 0], [-v, 0, 0],
+                     [0, -v, 0], [0, 0, 0]], dtype=float)
+    p0 = np.zeros(3)
+    segs = []
+    for d in dirs:
+        seg = p0[None, :] + d[None, :] * t_section[:, None]
+        segs.append(seg)
+        p0 = seg[-1]
+    p = np.concatenate(segs, axis=0)
+    x = np.zeros((p.shape[0], 13))
+    x[:, 3] = 1.0
+    x[:, 0:3] = p
+    x[:, 7:10] = dirs[-1]
+    return x

@@ -144,3 +144,55 @@ def decompose_quaternion(q: jnp.ndarray):
     qz = unit_quat(qz)
     qxy = q_dot_q(q, quaternion_inverse(qz))
     return qxy, qz
+
+
+def rotation_matrix_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
+    """3x3 rotation matrix -> wxyz quaternion.  Parity with `utils.py:367-376`
+    (which delegated to pyquaternion); implemented here via the
+    branch-free Shepperd-style construction: all four candidate squares are
+    computed and the numerically dominant one selected with `where`, keeping
+    the function jit/vmap friendly (no data-dependent branching)."""
+    m00, m01, m02 = rot[..., 0, 0], rot[..., 0, 1], rot[..., 0, 2]
+    m10, m11, m12 = rot[..., 1, 0], rot[..., 1, 1], rot[..., 1, 2]
+    m20, m21, m22 = rot[..., 2, 0], rot[..., 2, 1], rot[..., 2, 2]
+    tr = m00 + m11 + m22
+    # four candidates, each valid where its pivot is the largest
+    qw2 = jnp.maximum(1.0 + tr, 0.0)
+    qx2 = jnp.maximum(1.0 + m00 - m11 - m22, 0.0)
+    qy2 = jnp.maximum(1.0 - m00 + m11 - m22, 0.0)
+    qz2 = jnp.maximum(1.0 - m00 - m11 + m22, 0.0)
+
+    def from_w():
+        s = 2.0 * jnp.sqrt(qw2)
+        return jnp.stack([0.25 * s, (m21 - m12) / s, (m02 - m20) / s,
+                          (m10 - m01) / s], axis=-1)
+
+    def from_x():
+        s = 2.0 * jnp.sqrt(qx2)
+        return jnp.stack([(m21 - m12) / s, 0.25 * s, (m01 + m10) / s,
+                          (m02 + m20) / s], axis=-1)
+
+    def from_y():
+        s = 2.0 * jnp.sqrt(qy2)
+        return jnp.stack([(m02 - m20) / s, (m01 + m10) / s, 0.25 * s,
+                          (m12 + m21) / s], axis=-1)
+
+    def from_z():
+        s = 2.0 * jnp.sqrt(qz2)
+        return jnp.stack([(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s,
+                          0.25 * s], axis=-1)
+
+    cands = jnp.stack([qw2, qx2, qy2, qz2], axis=-1)
+    idx = jnp.argmax(cands, axis=-1)
+    eps = jnp.asarray(1e-12, dtype=rot.dtype)
+    # guard each candidate's divisor so the unselected branches stay finite
+    qw2, qx2, qy2, qz2 = (jnp.maximum(c, eps) for c in (qw2, qx2, qy2, qz2))
+    quats = jnp.stack([from_w(), from_x(), from_y(), from_z()], axis=-2)
+    q = jnp.take_along_axis(quats, idx[..., None, None].astype(jnp.int32)
+                            .repeat(4, axis=-1), axis=-2)[..., 0, :]
+    return unit_quat(q)
+
+
+def rotation_matrix_to_euler(r_mat: jnp.ndarray) -> jnp.ndarray:
+    """3x3 rotation matrix -> (roll, pitch, yaw).  (`utils.py:443-457`)"""
+    return quaternion_to_euler(rotation_matrix_to_quat(r_mat))

@@ -58,23 +58,28 @@ def main():
     carry = jax.vmap(lambda x: init_carry(cfg, x))(x0)
 
     @jax.jit
-    def batched_solve(carry, x0, y_ref, rgp):
-        # batch-major path: vmapped linearize/condense + the Pallas
-        # lanes-batched IPM kernel for the condensed QPs
-        new_c, sol = solver.solve_batch(carry, x0, y_ref, y_ref[:, -1], rgp)
-        return new_c, sol.U
+    def chained_solves(carry, x0, y_ref, rgp):
+        # `iters` warm-started solves chained in ONE dispatch (a lax.scan,
+        # exactly how the closed-loop episode drives the solver) — measures
+        # device throughput of the all-Pallas tiled pipeline without paying
+        # the host->TPU dispatch round-trip per solve
+        def body(c, _):
+            c2, sol = solver.solve_batch(c, x0, y_ref, y_ref[:, -1], rgp)
+            return c2, sol.cost.sum()
+        return jax.lax.scan(body, carry, None, length=iters)
 
     # compile + warmup
-    c, U = batched_solve(carry, x0, y_ref, rgp)
-    jax.block_until_ready(U)
+    c, costs = chained_solves(carry, x0, y_ref, rgp)
+    jax.block_until_ready(costs)
 
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        c, U = batched_solve(c, x0, y_ref, rgp)
-    jax.block_until_ready(U)
+    for _ in range(reps):
+        c, costs = chained_solves(carry, x0, y_ref, rgp)
+        jax.block_until_ready(costs)
     dt = time.perf_counter() - t0
 
-    solves_per_s = B * iters / dt
+    solves_per_s = B * iters * reps / dt
     print(
         json.dumps(
             {

@@ -40,12 +40,22 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, L_ref, *, nz: int, iters: in
     g = g_ref[0]                    # (nz, L)
     lb = lb_ref[0]
     ub = ub_ref[0]
-    width = ub - lb
 
     # index grids
     i2 = jax.lax.broadcasted_iota(jnp.int32, (nz, LANE_TILE), 0)          # row idx
     r3 = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, LANE_TILE), 0)      # dim-0 idx
     k3 = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, LANE_TILE), 1)      # dim-1 idx
+
+    # Jacobi scaling in VMEM: with s = diag(H)^-1/2 solve in z' = z/s over
+    # H' = s H s (unit diagonal) — keeps f32 pivots well-conditioned without
+    # an extra HBM pass over H in the wrapper
+    dH = jnp.sum(jnp.where(r3 == k3, H, 0.0), axis=1)                     # (nz, L)
+    s = jax.lax.rsqrt(jnp.maximum(dH, 1e-12))
+    H = H * s[:, None, :] * s[None, :, :]
+    g = g * s
+    lb = lb / s
+    ub = ub / s
+    width = ub - lb
 
     def row_of(mat2, j):
         """(nz, L), scalar j -> (L,): masked row extraction."""
@@ -135,7 +145,34 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, L_ref, *, nz: int, iters: in
         return (z, sl, su, zl, zu)
 
     z, sl, su, zl, zu = jax.lax.fori_loop(0, iters, ipm_iter, (z, sl, su, zl, zu))
-    z_ref[0] = jnp.clip(z, lb, ub)
+    z_ref[0] = jnp.clip(z, lb, ub) * s    # undo the Jacobi scaling
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def solve_box_qp_pdip_pallas_tiled(Ht: jnp.ndarray, gt: jnp.ndarray,
+                                   lbt: jnp.ndarray, ubt: jnp.ndarray,
+                                   iters: int = 12,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """Tiled-layout batched box-QP solve — the zero-relayout entry used by the
+    all-Pallas SQP pipeline.  Ht: (nt, nz, nz, LANE), vectors (nt, nz, LANE);
+    H must be symmetric (the condense kernel builds it so by construction);
+    Jacobi scaling happens inside the kernel.  Returns z tiled (nt, nz, LANE).
+    """
+    nt, nz = Ht.shape[0], Ht.shape[1]
+    kernel = functools.partial(_qp_kernel, nz=nz, iters=iters)
+    vec_spec = pl.BlockSpec((1, nz, LANE_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, nz, nz, LANE_TILE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            vec_spec, vec_spec, vec_spec,
+        ],
+        out_specs=vec_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, nz, LANE_TILE), Ht.dtype),
+        scratch_shapes=[pltpu.VMEM((nz, nz, LANE_TILE), Ht.dtype)],
+        interpret=interpret,
+    )(Ht, gt, lbt, ubt)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))
@@ -148,15 +185,11 @@ def solve_box_qp_pdip_pallas(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray,
     dtype = H.dtype
 
     # The masked Cholesky consumes full columns of H, so enforce exact
-    # symmetry (f32 MXU-assembled Hessians are asymmetric at ~1e-3 relative),
-    # and Jacobi-scale to keep f32 pivots well-conditioned: with
-    # s = diag(H)^-1/2, solve in z' = z/s over H' = s H s (unit diagonal).
+    # symmetry (f32 MXU-assembled Hessians are asymmetric at ~1e-3 relative);
+    # Jacobi scaling happens inside the kernel.
     H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
-    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-12))  # (B, nz)
-    H = H * s[:, :, None] * s[:, None, :]
-    g = g * s
-    lb = jnp.broadcast_to(lb, (B, nz)).astype(dtype) / s
-    ub = jnp.broadcast_to(ub, (B, nz)).astype(dtype) / s
+    lb = jnp.broadcast_to(lb, (B, nz)).astype(dtype)
+    ub = jnp.broadcast_to(ub, (B, nz)).astype(dtype)
 
     Bp = ((B + LANE_TILE - 1) // LANE_TILE) * LANE_TILE
     if Bp != B:
@@ -174,20 +207,6 @@ def solve_box_qp_pdip_pallas(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray,
     lbt = lb.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
     ubt = ub.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
 
-    kernel = functools.partial(_qp_kernel, nz=nz, iters=iters)
-    vec_spec = pl.BlockSpec((1, nz, LANE_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    zt = pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, nz, nz, LANE_TILE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            vec_spec, vec_spec, vec_spec,
-        ],
-        out_specs=vec_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, nz, LANE_TILE), dtype),
-        scratch_shapes=[pltpu.VMEM((nz, nz, LANE_TILE), dtype)],
-        interpret=interpret,
-    )(Ht, gt, lbt, ubt)
-
-    zp = zt.transpose(0, 2, 1).reshape(Bp, nz)[:B]
-    return zp * s  # undo the Jacobi scaling (z = s z')
+    zt = solve_box_qp_pdip_pallas_tiled(Ht, gt, lbt, ubt, iters=iters,
+                                        interpret=interpret)
+    return zt.transpose(0, 2, 1).reshape(Bp, nz)[:B]

@@ -33,6 +33,17 @@ import jax.numpy as jnp
 from .qp import solve_box_qp_pdip, solve_box_qp_projected_newton
 
 
+def _fold_aug(aug):
+    """Fold a GP/RGP augmentation into its solve-invariant form (the
+    per-solve constant K_x⁻¹ mu_g product) so the RK4 linearization doesn't
+    recompute it per stage/tangent.  No-op for None/unknown model pytrees."""
+    if aug is None:
+        return None
+    from ..models.augmented import fold_drag
+
+    return fold_drag(aug)
+
+
 class MPCConfig(NamedTuple):
     """Static MPC problem definition (hashable — safe as a jit static arg is
     NOT needed; all fields are arrays or Python ints consumed at trace time)."""
@@ -72,6 +83,18 @@ class MPCConfig(NamedTuple):
         q = jnp.asarray(self.q_cost)
         return jnp.concatenate([q[:3], jnp.mean(q[3:6])[None], q[3:]])
 
+    def weight_tuples(self) -> tuple:
+        """(stage-q, terminal-q, control-r) diagonals as static Python float
+        tuples — compile-time constants for the Pallas condense kernel."""
+        import numpy as _np
+
+        q = _np.asarray(self.q_cost, dtype=_np.float64)
+        qd = _np.concatenate([q[:3], [q[3:6].mean()], q[3:]])
+        q_stage = tuple(float(v) for v in qd * self.stage_scale)
+        q_term = tuple(float(v) for v in qd * self.terminal_cost)
+        rw = tuple(float(v) * self.stage_scale for v in self.r_cost)
+        return q_stage, q_term, rw
+
 
 class SolverCarry(NamedTuple):
     """Warm-started primal trajectory — the RTI state carried across ticks."""
@@ -110,6 +133,7 @@ class SQPSolver:
     def __init__(self, cfg: MPCConfig, dynamics: Callable):
         self.cfg = cfg
         self.f = dynamics
+        self._lin_pallas = None   # lazily-built Pallas linearize kernel
 
     # ------------------------------------------------------------------ #
     def discrete_dynamics(self, x: jnp.ndarray, u: jnp.ndarray, dt, aug=None) -> jnp.ndarray:
@@ -205,6 +229,7 @@ class SQPSolver:
         Returns (next warm-start carry, solution).
         """
         cfg = self.cfg
+        aug = _fold_aug(aug)
         X, U = carry.X, carry.U
         if cfg.shift_warm_start:
             X = jnp.concatenate([X[1:], X[-1:]], axis=0)
@@ -282,6 +307,13 @@ class SQPSolver:
         """Linearize + condense + GN Hessian/gradient for ONE scenario —
         everything except the QP solve of `_gn_step` (shared by the batched
         Pallas path)."""
+        A, B, r = self._linearize(X, U, aug)
+        return self._cost_from_lin(X, U, x0, y_ref, y_ref_N, A, B, r)
+
+    def _cost_from_lin(self, X, U, x0, y_ref, y_ref_N, A, B, r):
+        """Condensing + GN Hessian/gradient from precomputed sensitivities —
+        the linearization-independent tail of `_assemble` (shared with the
+        SoA batch path)."""
         cfg = self.cfg
         N = cfg.n_nodes
         nu = U.shape[-1]
@@ -292,7 +324,6 @@ class SQPSolver:
         rw = jnp.asarray(cfg.r_cost, dtype=dtype) * cfg.stage_scale
         p = cfg.q_diagonal().astype(dtype) * cfg.terminal_cost
 
-        A, B, r = self._linearize(X, U, aug)
         dx0 = x0 - X[0]
         M, d = self._condense(A, B, r, dx0)
 
@@ -319,6 +350,150 @@ class SQPSolver:
         ub = cfg.u_ub - U.reshape(nz)
         return H, g, lb, ub, M, d
 
+    def _assemble_batch_soa(self, X, U, x0, y_ref, y_ref_N, aug):
+        """Batch assemble with the lane-major (SoA) linearization: the whole
+        (B, N) node batch is flattened into the trailing lane axis of one
+        RK4-sensitivity evaluation (`models/dynamics_soa.py`) instead of
+        vmapping jacfwd per scenario (~5x on the linearize phase at B=4096)."""
+        from ..models.augmented import FoldedDrag
+        from ..models.dynamics_soa import linearize_rk4_soa
+
+        cfg = self.cfg
+        N = cfg.n_nodes
+        B = X.shape[0]
+
+        aug_cols = None
+        if aug is not None:
+            # per-scenario model leaves -> trailing flattened (B*N) columns
+            def cols(a):
+                a = jnp.moveaxis(a, 0, -1)                       # (..., B)
+                a = jnp.broadcast_to(a[..., None], a.shape + (N,))
+                return a.reshape(a.shape[:-2] + (B * N,))
+
+            aug_cols = FoldedDrag(*(cols(leaf) for leaf in aug))
+
+        Xl = X[:, :-1].reshape(B * N, 13)
+        Ul = U.reshape(B * N, 4)
+        if getattr(self.f, "params", None) is not None:
+            # fused-in-VMEM Pallas linearization (interpret mode off-TPU)
+            if self._lin_pallas is None:
+                from .pallas.lin_kernel import make_linearizer_pallas
+
+                self._lin_pallas = make_linearizer_pallas(self.f.params, cfg.dt)
+            xp, A, Bm = self._lin_pallas(
+                Xl, Ul, aug_cols, interpret=jax.default_backend() != "tpu"
+            )
+            xp = xp.reshape(B * N, 13)
+        else:
+            xp, A, Bm = linearize_rk4_soa(self.f.soa, Xl, Ul, cfg.dt, aug_cols)
+        nu = U.shape[-1]
+        nz = N * nu
+        A = A.reshape(B, N, 13, 13)
+        Bm = Bm.reshape(B, N, 13, nu)
+        r = xp.reshape(B, N, 13) - X[:, 1:]
+
+        # condensing + GN cost in the lanes-batched Pallas kernel
+        from .pallas.condense_kernel import condense_cost_pallas
+
+        q_stage, q_term, rw_t = cfg.weight_tuples()
+        ex0 = X - jnp.concatenate([y_ref, y_ref_N[:, None]], axis=1)
+        interpret = jax.default_backend() != "tpu"
+        H, g, M, d = condense_cost_pallas(
+            A, Bm, r, x0 - X[:, 0], ex0, q=q_stage, p=q_term, rw=rw_t,
+            interpret=interpret,
+        )
+        rw = jnp.asarray(cfg.r_cost, dtype=X.dtype) * cfg.stage_scale
+        g = g + ((U - cfg.u_ref) * rw).reshape(B, nz)
+        lb = jnp.broadcast_to(cfg.u_lb - U.reshape(B, nz), (B, nz))
+        ub = jnp.broadcast_to(cfg.u_ub - U.reshape(B, nz), (B, nz))
+        return H, g, lb, ub, M, d
+
+    def _gn_step_batch_tiled(self, X, U, x0, y_ref, y_ref_N, aug):
+        """One batched Gauss-Newton step with ZERO layout changes between the
+        Pallas stages: the lin kernel's raw tangent tiles feed the condense
+        kernel column-wise, whose H/g tiles feed the QP kernel, all in the
+        lanes-last (…, 128) layout.  The 26-92 MB lane-crossing transposes of
+        A/B, H and the condensing map M — which dominated the phase-split
+        pipeline — never happen; only the small (B, N, 13) boundary arrays
+        are retiled.  Requires B % 128 == 0."""
+        from ..models.augmented import FoldedDrag
+        from .pallas.condense_kernel import condense_cost_from_J_tiled
+        from .pallas.qp_kernel import solve_box_qp_pdip_pallas_tiled
+
+        cfg = self.cfg
+        N = cfg.n_nodes
+        B = X.shape[0]
+        nu = U.shape[-1]
+        nz = N * nu
+        ntb = B // 128
+        dtype = X.dtype
+        interp = jax.default_backend() != "tpu"
+
+        if self._lin_pallas is None:
+            from .pallas.lin_kernel import make_linearizer_pallas
+
+            self._lin_pallas = make_linearizer_pallas(self.f.params, cfg.dt)
+
+        # n-major flatten (column = n*B + b) so each lane tile is one
+        # scenario block for a fixed stage
+        Xl = X[:, :-1].transpose(1, 0, 2).reshape(N * B, 13)
+        Ul = U.transpose(1, 0, 2).reshape(N * B, nu)
+        aug_cols = None
+        if aug is not None:
+            def cols(a):
+                a = jnp.moveaxis(a, 0, -1)                       # (..., B)
+                base = a.shape[:-1]
+                a = jnp.broadcast_to(a[..., None, :], base + (N, B))
+                return a.reshape(base + (N * B,))                # col = n*B + b
+
+            aug_cols = FoldedDrag(*(cols(leaf) for leaf in aug))
+
+        xp_t, J_t = self._lin_pallas(Xl, Ul, aug_cols, interpret=interp,
+                                     tiled_out=True)
+        # tile index t = n*ntb + tb -> regroup to scenario-major tiles; the
+        # inner (13, 128) blocks stay contiguous (cheap leading-dim transpose)
+        J_t = J_t.reshape(N, ntb, 17, 13, 128).transpose(1, 0, 2, 3, 4)
+        xp_t = xp_t.reshape(N, ntb, 13, 128).transpose(1, 0, 2, 3)
+
+        def tile(a):
+            """(B, ...) -> (ntb, ..., 128)"""
+            a = a.reshape((ntb, 128) + a.shape[1:])
+            return jnp.moveaxis(a, 1, -1)
+
+        def untile(at):
+            """(ntb, ..., 128) -> (B, ...)"""
+            return jnp.moveaxis(at, -1, 1).reshape((B,) + at.shape[1:-1])
+
+        X_t = tile(X)                                            # (ntb, N+1, 13, L)
+        r_t = xp_t - X_t[:, 1:]
+        ex0_t = X_t - tile(jnp.concatenate([y_ref, y_ref_N[:, None]], axis=1))
+        dx0_t = tile(x0 - X[:, 0])                               # (ntb, 13, L)
+
+        q_s, q_term, rw_s = cfg.weight_tuples()
+        Ht, gt, Mt, dt_ = condense_cost_from_J_tiled(
+            J_t, r_t, dx0_t, ex0_t, q=q_s, p=q_term, rw=rw_s, nu=nu,
+            interpret=interp,
+        )
+
+        Uf_t = tile(U.reshape(B, nz))                            # (ntb, nz, L)
+        rw = jnp.tile(jnp.asarray(cfg.r_cost, dtype) * cfg.stage_scale, N)
+        gt = gt + (Uf_t - cfg.u_ref) * rw[None, :, None]
+        lbt = cfg.u_lb - Uf_t
+        ubt = cfg.u_ub - Uf_t
+
+        zt = solve_box_qp_pdip_pallas_tiled(Ht, gt, lbt, ubt,
+                                            iters=cfg.qp_iters, interpret=interp)
+
+        # projected-gradient KKT residual, computed in the tiled layout
+        grad_t = jnp.einsum("tijl,tjl->til", Ht, zt) + gt
+        proj_t = jnp.clip(zt - grad_t, lbt, ubt) - zt
+        kkt = jnp.max(jnp.abs(untile(proj_t)), axis=-1)          # (B,)
+
+        U_new = U + untile(zt).reshape(B, N, nu)
+        Xd_t = dt_ + jnp.einsum("tkxzl,tzl->tkxl", Mt, zt)
+        X_new = X + untile(Xd_t)
+        return X_new, U_new, kkt
+
     def solve_batch(self, carry: SolverCarry, x0: jnp.ndarray, y_ref: jnp.ndarray,
                     y_ref_N: jnp.ndarray, aug=None) -> tuple[SolverCarry, MPCSolution]:
         """Batch-major solve: all leading dims are the scenario batch B.
@@ -334,15 +509,31 @@ class SQPSolver:
         from .qp import qp_kkt_residual
 
         cfg = self.cfg
+        aug = _fold_aug(aug)
         N = cfg.n_nodes
         Bsz, _, nu = carry.U.shape
         nz = N * nu
 
         X, U = carry.X, carry.U
 
+        from ..models.augmented import FoldedDrag
+
+        use_soa = getattr(self.f, "soa", None) is not None and (
+            aug is None or isinstance(aug, FoldedDrag)
+        )
+
+        tiled = (use_soa and Bsz % 128 == 0
+                 and getattr(self.f, "params", None) is not None)
+
         def one_iter(carry_xu, _):
             X, U = carry_xu
-            if aug is None:
+            if tiled:
+                X_new, U_new, kkt = self._gn_step_batch_tiled(
+                    X, U, x0, y_ref, y_ref_N, aug)
+                return (X_new, U_new), kkt
+            if use_soa:
+                H, g, lb, ub, M, d = self._assemble_batch_soa(X, U, x0, y_ref, y_ref_N, aug)
+            elif aug is None:
                 H, g, lb, ub, M, d = _jax.vmap(
                     lambda X, U, x0, yr, yrN: self._assemble(X, U, x0, yr, yrN, None)
                 )(X, U, x0, y_ref, y_ref_N)

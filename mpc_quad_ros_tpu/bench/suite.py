@@ -70,16 +70,26 @@ def latency(iters: int = 200) -> dict:
 
 
 def throughput(batches=(1024, 4096, 8192, 16384), iters: int = 10) -> list:
+    """Warm-started solves chained in ONE dispatch (lax.scan, as the episode
+    loop drives the solver) — measures device throughput rather than the
+    host->TPU dispatch round-trip (which the axon tunnel makes ~30 ms)."""
     out = []
     for B in batches:
         p, cfg, solver, carry, x0, y_ref, rgp = _setup(B)
-        f = jax.jit(lambda c, x, yr, r: solver.solve_batch(c, x, yr, yr[:, -1], r)[1].U)
+
+        @jax.jit
+        def f(c, x, yr, r):
+            def body(c, _):
+                c2, sol = solver.solve_batch(c, x, yr, yr[:, -1], r)
+                return c2, sol.cost.sum()
+            return jax.lax.scan(body, c, None, length=iters)
+
         jax.block_until_ready(f(carry, x0, y_ref, rgp))
+        reps = 3
         t0 = time.perf_counter()
-        for _ in range(iters):
-            o = f(carry, x0, y_ref, rgp)
-        jax.block_until_ready(o)
-        dt = (time.perf_counter() - t0) / iters
+        for _ in range(reps):
+            jax.block_until_ready(f(carry, x0, y_ref, rgp))
+        dt = (time.perf_counter() - t0) / (iters * reps)
         out.append({"batch": B, "ms": dt * 1e3, "solves_per_s": B / dt})
     return out
 

@@ -110,3 +110,26 @@ def test_solve_batch_soa_matches_single_solve():
         jax.vmap(lambda x: init_carry(cfg, x))(x0), x0, y_ref, y_ref_N, aug)
     np.testing.assert_allclose(np.asarray(sol_b.U), np.asarray(sol_s.U),
                                atol=5e-6)
+
+
+def test_solve_batch_tiled_pipeline_matches_single_solve():
+    """B = 128 engages the zero-relayout tiled pipeline (lin kernel -> tiled
+    condense -> tiled QP, all interpret mode on CPU); must agree with the
+    vmapped single-scenario solver."""
+    p = hummingbird_params()
+    cfg = MPCConfig()
+    solver = SQPSolver(cfg, make_mpc_dynamics(p))
+    key = jax.random.PRNGKey(7)
+    B = 128
+    x0 = jnp.zeros((B, 13)).at[:, 3].set(1.0) + 0.02 * jax.random.normal(key, (B, 13))
+    y_ref = jnp.broadcast_to(x0[:, None, :], (B, cfg.n_nodes, 13)) + 0.1
+    carry = jax.vmap(lambda x: init_carry(cfg, x))(x0)
+    aug = _batched_rgp(key, B)
+
+    _, sol_b = solver.solve_batch(carry, x0, y_ref, y_ref[:, -1], aug)
+    _, sol_s = jax.vmap(lambda c, x, yr, yN, a: solver.solve(c, x, yr, yN, a))(
+        carry, x0, y_ref, y_ref[:, -1], aug)
+    np.testing.assert_allclose(np.asarray(sol_b.U), np.asarray(sol_s.U), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(sol_b.X), np.asarray(sol_s.X), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(sol_b.kkt_residual),
+                               np.asarray(sol_s.kkt_residual), atol=1e-6)

@@ -514,16 +514,32 @@ class SQPSolver:
         Bsz, _, nu = carry.U.shape
         nz = N * nu
 
-        X, U = carry.X, carry.U
-
         from ..models.augmented import FoldedDrag
 
         use_soa = getattr(self.f, "soa", None) is not None and (
             aug is None or isinstance(aug, FoldedDrag)
         )
 
-        tiled = (use_soa and Bsz % 128 == 0
+        # Large batches take the zero-relayout tiled pipeline; non-multiples
+        # of the 128-lane tile are padded with replicas of scenario 0 and
+        # sliced back after the solve (<= 127 wasted lanes).
+        tiled = (use_soa and Bsz >= 128
                  and getattr(self.f, "params", None) is not None)
+        B_orig = Bsz
+        if tiled and Bsz % 128 != 0:
+            Bp = ((Bsz + 127) // 128) * 128
+
+            def pad(a):
+                return jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (Bp - Bsz,) + a.shape[1:])], axis=0
+                )
+
+            carry = jax.tree.map(pad, carry)
+            x0, y_ref, y_ref_N = pad(x0), pad(y_ref), pad(y_ref_N)
+            aug = jax.tree.map(pad, aug) if aug is not None else None
+            Bsz = Bp
+
+        X, U = carry.X, carry.U
 
         def one_iter(carry_xu, _):
             X, U = carry_xu
@@ -551,6 +567,9 @@ class SQPSolver:
         (X, U), kkts = jax.lax.scan(one_iter, (X, U), None, length=cfg.sqp_iters)
 
         cost = _jax.vmap(self.ls_cost)(X, U, y_ref, y_ref_N)
+        if Bsz != B_orig:
+            X, U, cost = X[:B_orig], U[:B_orig], cost[:B_orig]
+            kkts = kkts[:, :B_orig]
         sol = MPCSolution(X=X, U=U, cost=cost, kkt_residual=kkts[-1])
         return SolverCarry(X=X, U=U), sol
 

@@ -67,6 +67,9 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, L_ref, *, nz: int, iters: in
     zl = jnp.ones_like(z)
     zu = jnp.ones_like(z)
 
+    PANEL = 4                      # nu: panel width for the blocked Cholesky
+    n_panels = (nz + PANEL - 1) // PANEL
+
     def ipm_iter(_, carry):
         z, sl, su, zl, zu = carry
 
@@ -78,48 +81,57 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, L_ref, *, nz: int, iters: in
         d = zl / sl + zu / su
         rhs = -r + (mu - sl * zl) / sl - (mu - su * zu) / su
 
-        # ---- Cholesky of M = H + diag(d) ----
-        L_ref[...] = jnp.zeros((nz, nz, LANE_TILE), dtype)
+        # ---- panel-blocked right-looking Cholesky of M = H + diag(d) ----
+        # Statically unrolled: columns are SSA values, so the substitutions
+        # below access them directly (no masked full-matrix row extraction),
+        # and the trailing update is one unmasked rank-PANEL FMA sweep per
+        # panel instead of a masked (nz, nz, L) pass per column.
+        eye = jnp.where(r3 == k3, 1.0, 0.0).astype(dtype)
+        A = H + eye * d[:, None, :]
+        cols = []                                  # L columns, each (nz, L)
+        diags = []                                 # L[j, j], each (L,)
+        for t in range(n_panels):
+            c0 = t * PANEL
+            P = A[:, c0:c0 + PANEL, :]             # (nz, PANEL, L) static slice
+            pcols = []
+            for jj in range(PANEL):
+                j = c0 + jj
+                colA = P[:, jj, :]                 # (nz, L)
+                diag = jnp.sqrt(jnp.maximum(colA[j], 1e-12))       # (L,)
+                col = jnp.where(i2 > j, colA / diag[None, :],
+                                jnp.where(i2 == j, diag[None, :], 0.0))
+                cols.append(col)
+                diags.append(diag)
+                pcols.append(col)
+                if jj + 1 < PANEL:
+                    # update the rest of the panel: P[:, k] -= col * col[c0+k]
+                    rows = jnp.stack([col[c0 + kk] for kk in range(jj + 1, PANEL)],
+                                     axis=0)       # (PANEL-jj-1, L)
+                    upd = col[:, None, :] * rows[None, :, :]
+                    P = jnp.concatenate(
+                        [P[:, :jj + 1, :], P[:, jj + 1:, :] - upd], axis=1)
+            if t + 1 < n_panels:
+                # trailing rank-PANEL update of the remaining columns:
+                # A[:, m] -= sum_p pcols[p] * pcols[p][m]
+                Pc = jnp.stack(pcols, axis=1)      # (nz, PANEL, L)
+                rows = Pc[c0 + PANEL:]             # (rem, PANEL, L)
+                upd = jnp.sum(Pc[:, None, :, :] * rows[None, :, :, :], axis=2)
+                A = jnp.concatenate(
+                    [A[:, :c0 + PANEL, :], A[:, c0 + PANEL:, :] - upd], axis=1)
 
-        def chol_col(j, _):
-            Lc = L_ref[...]
-            Lj_row = jnp.sum(jnp.where(r3 == j, Lc, 0.0), axis=0)  # L[j, :, :] (nz, L)
-            S = jnp.sum(jnp.where(k3 < j, Lc, 0.0) * Lj_row[None, :, :], axis=1)
-            Hcol = jnp.sum(jnp.where(k3 == j, H, 0.0), axis=1)     # H[:, j, :]
-            dj = row_of(d, j)
-            col = Hcol + jnp.where(i2 == j, dj[None, :], 0.0) - S
-            diag = jnp.sqrt(jnp.maximum(row_of(col, j), 1e-12))    # (L,)
-            newcol = jnp.where(
-                i2 > j, col / diag[None, :],
-                jnp.where(i2 == j, jnp.broadcast_to(diag[None, :], (nz, LANE_TILE)), 0.0),
-            )
-            L_ref[...] = jnp.where(k3 == j, newcol[:, None, :], Lc)
-            return 0
-
-        jax.lax.fori_loop(0, nz, chol_col, 0)
-
-        Lc = L_ref[...]
-
-        # ---- forward substitution: L y = rhs ----
-        def fwd(j, y):
-            Lj_row = jnp.sum(jnp.where(r3 == j, Lc, 0.0), axis=0)  # (nz, L): L[j, k, :]
-            acc = jnp.sum(jnp.where(i2 < j, Lj_row * y, 0.0), axis=0)   # (L,)
-            Ljj = row_of(Lj_row, j)
-            yj = (row_of(rhs, j) - acc) / Ljj
-            return jnp.where(i2 == j, yj[None, :], y)
-
-        y = jax.lax.fori_loop(0, nz, fwd, jnp.zeros((nz, LANE_TILE), dtype))
-
+        # ---- forward substitution: L y = rhs  (unrolled, column values) ----
+        acc = jnp.zeros((nz, LANE_TILE), dtype)
+        ys = []
+        for j in range(nz):
+            yj = (rhs[j] - acc[j]) / diags[j]      # (L,)
+            ys.append(yj)
+            acc = acc + cols[j] * yj[None, :]
         # ---- back substitution: L^T dz = y ----
-        def bwd(jj, dz):
-            j = nz - 1 - jj
-            Lcol = jnp.sum(jnp.where(k3 == j, Lc, 0.0), axis=1)    # (nz, L): L[i, j, :]
-            acc = jnp.sum(jnp.where(i2 > j, Lcol * dz, 0.0), axis=0)
-            Ljj = row_of(Lcol, j)
-            dzj = (row_of(y, j) - acc) / Ljj
-            return jnp.where(i2 == j, dzj[None, :], dz)
-
-        dz = jax.lax.fori_loop(0, nz, bwd, jnp.zeros((nz, LANE_TILE), dtype))
+        dz = jnp.zeros((nz, LANE_TILE), dtype)
+        for j in range(nz - 1, -1, -1):
+            dot = jnp.sum(jnp.where(i2 > j, cols[j] * dz, 0.0), axis=0)
+            dzj = (ys[j] - dot) / diags[j]
+            dz = jnp.where(i2 == j, dzj[None, :], dz)
 
         # ---- dual steps + fraction-to-the-boundary ----
         dzl = (mu - sl * zl - zl * dz) / sl

@@ -1,0 +1,332 @@
+"""Pallas TPU kernel: the ENTIRE batched SQP-RTI Gauss-Newton step, fused.
+
+The three-kernel tiled pipeline (`lin_kernel` -> `condense_kernel` ->
+`qp_kernel`) left ~40% of the step in inter-kernel glue: the condensed
+Hessian (26 MB at B=4096) and the condensing map M (94 MB) round-trip
+through HBM between kernels, the tangent tiles are re-grouped stage->scenario
+major, and the QP-solution expansion dX = M z + d and the KKT residual run
+as XLA einsums re-reading those arrays.  This kernel fuses the whole
+Gauss-Newton step for 128 scenarios per grid instance:
+
+    for k in 0..N-1:   RK4 shooting step + 17 jvp tangents  (lin kernel body)
+                       condensing recurrence d/M, H/g accumulation
+    (M_k, d_k kept in VMEM scratch — never written to HBM)
+    interior-point box QP on H           (qp kernel body, Jacobi-scaled)
+    KKT projected-gradient residual on the unscaled system
+    dX_k = d_k + M_k z   for k = 0..N    (the warm-start update)
+
+HBM traffic per tile is only the boundary arrays: X/U/refs in (~160 kB),
+z/dX/kkt out (~100 kB) — everything dimension-typed `(..., 128)` lanes-last.
+The per-stage model augmentation (the folded RGP drag) is per-SCENARIO here,
+so the host never broadcasts it across the N stages (the split pipeline
+materialized (3, nb, N*B) columns).
+
+Numerics are identical to the split pipeline by construction: same formulas,
+same statically-unrolled panel Cholesky, same iteration counts.  Oracles in
+tests: the vmapped single-scenario `SQPSolver.solve` and the split tiled
+pipeline itself.
+
+Reference parity notes: this implements one acados SQP_RTI iteration
+(`/root/reference/src/quad_opt.py:147-151` solver options; LINEAR_LS cost
+`quad_opt.py:104-130`; u in [0,1] `quad_opt.py:142-144`) as one fused TPU
+kernel instead of ERK codegen + HPIPM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lin_kernel import _make_f
+
+LANE_TILE = 128
+NX, NU, NT = 13, 4, 17
+
+
+def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
+                  *refs, f, dt: float, N: int, q: tuple, p: tuple, rw: tuple,
+                  iters: int, with_aug: bool):
+    """One tile = LANE_TILE scenarios, lanes-last.
+
+    X: (1, N+1, nx, L); U: (1, N, nu, L); dx0: (1, nx, L);
+    ex0 = X - yref: (1, N+1, nx, L); gu = rw*(Uflat - u_ref): (1, nz, L);
+    lb/ub = u bounds minus Uflat: (1, nz, L).
+    Aug (folded RGP drag, per scenario): Xb/wb (1, 3, nb, L), Lb/sfb (1, 3, L).
+    Outputs: z (1, nz, L), dX (1, N+1, nx, L), kkt (1, 1, L).
+    Scratch: M_all (N+1, nx, nz, L), d_all (N+1, nx, L).
+    """
+    nx, nu = NX, NU
+    nz = N * nu
+    L = LANE_TILE
+    if with_aug:
+        Xb_ref, wb_ref, Lb_ref, sfb_ref, z_out, Xd_out, kkt_out, M_all, d_all = refs
+        aug = (Xb_ref[0], wb_ref[0], Lb_ref[0], sfb_ref[0])
+    else:
+        z_out, Xd_out, kkt_out, M_all, d_all = refs
+        aug = None
+    dtype = X_ref.dtype
+
+    def step(x, u):
+        k1 = f(x, u, aug)
+        k2 = f(x + dt / 2 * k1, u, aug)
+        k3 = f(x + dt / 2 * k2, u, aug)
+        k4 = f(x + dt * k3, u, aug)
+        return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    # all 17 basis tangents stacked: one vmapped pass through the linearized
+    # step instead of 17 separate tangent traces (17x smaller kernel program)
+    ti_x = jax.lax.broadcasted_iota(jnp.int32, (NT, nx, L), 0)
+    tr_x = jax.lax.broadcasted_iota(jnp.int32, (NT, nx, L), 1)
+    tx_all = (ti_x == tr_x).astype(dtype)
+    ti_u = jax.lax.broadcasted_iota(jnp.int32, (NT, nu, L), 0)
+    tr_u = jax.lax.broadcasted_iota(jnp.int32, (NT, nu, L), 1)
+    tu_all = (ti_u - nx == tr_u).astype(dtype)
+
+    # ---- pass 1: linearize + condense, H/g as SSA, M/d into scratch ----
+    H = jnp.zeros((nz, nz, L), dtype)
+    g = jnp.zeros((nz, L), dtype)
+    M = jnp.zeros((nx, nz, L), dtype)
+    d = dx0_ref[0]
+    M_all[0] = M
+    d_all[0] = d
+
+    def accumulate(H, g, Mk, exk, w):
+        """H += Mk^T diag(w) Mk;  g += Mk^T diag(w) exk  (w static tuple)."""
+        W = jnp.stack([w[i] * Mk[i] for i in range(nx)], axis=0)
+        for i in range(nx):
+            H = H + Mk[i][:, None, :] * W[i][None, :, :]
+            g = g + W[i] * exk[i][None, :]
+        return H, g
+
+    for k in range(N):
+        x = X_ref[0, k]                                  # (nx, L)
+        u = U_ref[0, k]                                  # (nu, L)
+        xp, f_lin = jax.linearize(step, x, u)            # tangents share primal
+        Jfull = jax.vmap(f_lin)(tx_all, tu_all)          # (17, nx, L)
+        Jk = [Jfull[i] for i in range(NT)]               # columns of [A_k|B_k]
+        r_k = xp - X_ref[0, k + 1]
+
+        if k > 0:  # stage-k cost term (M_0 = 0 contributes nothing)
+            H, g = accumulate(H, g, M, ex0_ref[0, k] + d, q)
+
+        # d_{k+1} = A_k d + r_k — tangent j IS column j of A_k
+        d = sum(Jk[j] * d[j][None, :] for j in range(nx)) + r_k
+
+        # M_{k+1} = A_k M_k + B_k E_k
+        Mn = jnp.zeros((nx, nz, L), dtype)
+        for j in range(nx):
+            Mn = Mn + Jk[j][:, None, :] * M[j][None, :, :]
+        pieces = []
+        if k > 0:
+            pieces.append(jnp.zeros((nx, k * nu, L), dtype))
+        pieces.append(jnp.stack([Jk[nx + j] for j in range(nu)], axis=1))
+        if nz - (k + 1) * nu > 0:
+            pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
+        M = Mn + (pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1))
+        M_all[k + 1] = M
+        d_all[k + 1] = d
+
+    H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)     # terminal (weight p)
+
+    # + kron(I_N, diag(rw)) on the diagonal (rw static floats)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 1)
+    for i in range(nu):
+        H = H + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
+    g = g + gu_ref[0]
+    lb0 = lb_ref[0]
+    ub0 = ub_ref[0]
+    H0, g0 = H, g                                        # unscaled, for the KKT
+
+    # ---- interior-point box QP (same body as qp_kernel._qp_kernel) ----
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (nz, L), 0)
+    r3, k3 = ci, cj
+
+    dH = jnp.sum(jnp.where(r3 == k3, H, 0.0), axis=1)    # (nz, L)
+    s = jax.lax.rsqrt(jnp.maximum(dH, 1e-12))
+    H = H * s[:, None, :] * s[None, :, :]
+    g = g * s
+    lb = lb0 / s
+    ub = ub0 / s
+    width = ub - lb
+
+    z = 0.5 * (lb + ub)
+    sl = z - lb
+    su = ub - z
+    zl = jnp.ones_like(z)
+    zu = jnp.ones_like(z)
+
+    PANEL = 4
+    n_panels = (nz + PANEL - 1) // PANEL
+
+    def ipm_iter(_, carry):
+        z, sl, su, zl, zu = carry
+
+        gap = (jnp.sum(sl * zl, axis=0) + jnp.sum(su * zu, axis=0)) / (2 * nz)
+        mu = (0.1 * gap)[None, :]
+
+        Hz = jnp.sum(H * z[None, :, :], axis=1)
+        r = Hz + g - zl + zu
+        dd = zl / sl + zu / su
+        rhs = -r + (mu - sl * zl) / sl - (mu - su * zu) / su
+
+        # panel-blocked right-looking Cholesky of M = H + diag(dd)
+        eye = jnp.where(r3 == k3, 1.0, 0.0).astype(dtype)
+        A = H + eye * dd[:, None, :]
+        cols = []
+        diags = []
+        for t in range(n_panels):
+            c0 = t * PANEL
+            P = A[:, c0:c0 + PANEL, :]
+            pcols = []
+            for jj in range(PANEL):
+                j = c0 + jj
+                colA = P[:, jj, :]
+                diag = jnp.sqrt(jnp.maximum(colA[j], 1e-12))
+                col = jnp.where(i2 > j, colA / diag[None, :],
+                                jnp.where(i2 == j, diag[None, :], 0.0))
+                cols.append(col)
+                diags.append(diag)
+                pcols.append(col)
+                if jj + 1 < PANEL:
+                    rows = jnp.stack([col[c0 + kk] for kk in range(jj + 1, PANEL)],
+                                     axis=0)
+                    upd = col[:, None, :] * rows[None, :, :]
+                    P = jnp.concatenate(
+                        [P[:, :jj + 1, :], P[:, jj + 1:, :] - upd], axis=1)
+            if t + 1 < n_panels:
+                Pc = jnp.stack(pcols, axis=1)
+                rows = Pc[c0 + PANEL:]
+                upd = jnp.sum(Pc[:, None, :, :] * rows[None, :, :, :], axis=2)
+                A = jnp.concatenate(
+                    [A[:, :c0 + PANEL, :], A[:, c0 + PANEL:, :] - upd], axis=1)
+
+        # forward substitution: L y = rhs
+        acc = jnp.zeros((nz, L), dtype)
+        ys = []
+        for j in range(nz):
+            yj = (rhs[j] - acc[j]) / diags[j]
+            ys.append(yj)
+            acc = acc + cols[j] * yj[None, :]
+        # back substitution: L^T dz = y
+        dz = jnp.zeros((nz, L), dtype)
+        for j in range(nz - 1, -1, -1):
+            dot = jnp.sum(jnp.where(i2 > j, cols[j] * dz, 0.0), axis=0)
+            dzj = (ys[j] - dot) / diags[j]
+            dz = jnp.where(i2 == j, dzj[None, :], dz)
+
+        dzl = (mu - sl * zl - zl * dz) / sl
+        dzu = (mu - su * zu + zu * dz) / su
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=0))
+
+        alpha = jnp.minimum(
+            jnp.minimum(max_step(sl, dz), max_step(su, -dz)),
+            jnp.minimum(max_step(zl, dzl), max_step(zu, dzu)),
+        )[None, :]
+
+        z = z + alpha * dz
+        sl = z - lb
+        su = ub - z
+        eps = 1e-10 * jnp.maximum(width, 1.0)
+        sl = jnp.maximum(sl, eps)
+        su = jnp.maximum(su, eps)
+        zl = jnp.maximum(zl + alpha * dzl, 1e-12)
+        zu = jnp.maximum(zu + alpha * dzu, 1e-12)
+        return (z, sl, su, zl, zu)
+
+    z, sl, su, zl, zu = jax.lax.fori_loop(0, iters, ipm_iter, (z, sl, su, zl, zu))
+    z = jnp.clip(z, lb, ub) * s                          # undo Jacobi scaling
+    z_out[0] = z
+
+    # ---- KKT projected-gradient residual on the unscaled system ----
+    Hz0 = jnp.sum(H0 * z[None, :, :], axis=1)
+    proj = jnp.clip(z - (Hz0 + g0), lb0, ub0) - z
+    kkt_out[0, 0] = jnp.max(jnp.abs(proj), axis=0)
+
+    # ---- pass 2: dX_k = d_k + M_k z ----
+    for k in range(N + 1):
+        Xd_out[0, k] = d_all[k] + jnp.sum(M_all[k] * z[None, :, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "dt", "q", "p", "rw",
+                                             "iters", "interpret"))
+def _call(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves, f, dt, q, p, rw,
+          iters, interpret):
+    """All inputs tiled lanes-last: Xt (nt, N+1, nx, L), Ut (nt, N, nu, L),
+    dx0t (nt, nx, L), ex0t (nt, N+1, nx, L), gut/lbt/ubt (nt, nz, L);
+    aug_leaves (folded drag, per scenario): Xb/wb (nt, 3, nb, L),
+    Lb/sfb (nt, 3, L) or None.  Returns (zt (nt, nz, L),
+    Xdt (nt, N+1, nx, L), kkt (nt, 1, L))."""
+    nt, Np1, nx, L = Xt.shape
+    N = Np1 - 1
+    nu = Ut.shape[2]
+    nz = N * nu
+    dtype = Xt.dtype
+    with_aug = aug_leaves is not None
+
+    kernel = functools.partial(_fused_kernel, f=f, dt=dt, N=N, q=q, p=p,
+                               rw=rw, iters=iters, with_aug=with_aug)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec((N + 1, nx, L)), spec((N, nu, L)), spec((nx, L)),
+                spec((N + 1, nx, L)), spec((nz, L)), spec((nz, L)),
+                spec((nz, L))]
+    inputs = [Xt, Ut, dx0t, ex0t, gut, lbt, ubt]
+    if with_aug:
+        Xb, wb, Lb, sfb = aug_leaves
+        nb = Xb.shape[2]
+        inputs += [Xb, wb, Lb, sfb]
+        in_specs += [spec((3, nb, L)), spec((3, nb, L)),
+                     spec((3, L)), spec((3, L))]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=(spec((nz, L)), spec((N + 1, nx, L)), spec((1, L))),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, nz, L), dtype),
+            jax.ShapeDtypeStruct((nt, N + 1, nx, L), dtype),
+            jax.ShapeDtypeStruct((nt, 1, L), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N + 1, nx, nz, L), dtype),
+            pltpu.VMEM((N + 1, nx, L), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def make_fused_sqp_step(p, dt: float):
+    """Returns fused_step(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves,
+    q, p_term, rw, iters) operating entirely in the tiled lanes-last layout.
+    `p` is the QuadParams pytree (baked to scalars at kernel-build time)."""
+    builder_cache = {}
+
+    def f_for(nb):
+        if nb not in builder_cache:
+            builder_cache[nb] = _make_f(p, nb)
+        return builder_cache[nb]
+
+    def fused_step(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves,
+                   q, p_term, rw, iters, interpret=False):
+        nb = aug_leaves[0].shape[2] if aug_leaves is not None else None
+        return _call(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves,
+                     f_for(nb), dt, tuple(q), tuple(p_term), tuple(rw),
+                     iters, interpret)
+
+    return fused_step

@@ -122,7 +122,8 @@ def closed_loop(B: int = 1024, v: float = 8.0, t_max: float = 10.0) -> dict:
 
     dtype = jnp.float32
     p1 = hummingbird_params(dtype=dtype)
-    cfg = EpisodeConfig(mpc=MPCConfig(u_ref=float(p1.hover_input)))
+    cfg = EpisodeConfig(mpc=MPCConfig(u_ref=float(p1.hover_input)),
+                        log_rgp_posterior=False)  # (B,T,3,nb,nb) off the bench
     solver = SQPSolver(cfg.mpc, make_mpc_dynamics(p1))
     ts, pos, vel, acc = circle_trajectory_accelerating(10.0, v, t_max=t_max, dt=cfg.mpc.dt)
     x_traj = jnp.asarray(states_from_flat_outputs(np.asarray(pos), np.asarray(vel)), dtype)

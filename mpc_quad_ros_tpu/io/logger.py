@@ -76,5 +76,18 @@ class Logger:
             d["rgp_mu_g_t"] = [list(mu[k]) for k in range(T)]
             d["v_body"] = list(np.asarray(outs.v_body))
             d["a_drag"] = list(np.asarray(outs.a_drag))
+        # full posterior keys in the reference's per-tick list-of-3-axis
+        # format (`execute_trajectory.py:270-273`): basis locations,
+        # covariance and hyperparameters — what the Visualiser's uncertainty
+        # bands / posterior animations consume (`Visualiser.py:459-783`)
+        if getattr(outs, "rgp_basis_vectors", None) is not None:
+            bv = np.asarray(outs.rgp_basis_vectors)       # (T, 3, nb)
+            d["rgp_basis_vectors"] = [list(bv[k]) for k in range(T)]
+        if getattr(outs, "rgp_C_g_t", None) is not None:
+            cg = np.asarray(outs.rgp_C_g_t)               # (T, 3, nb, nb)
+            d["rgp_C_g_t"] = [list(cg[k]) for k in range(T)]
+        if getattr(outs, "rgp_theta", None) is not None:
+            th = np.asarray(outs.rgp_theta)               # (T, 3, 3)
+            d["rgp_theta"] = [[list(map(float, row)) for row in th[k]] for k in range(T)]
         lg.dictionary = d
         return lg

@@ -162,6 +162,26 @@ class Visualiser:
         return save_path
 
     # ------------------------------------------------------------------ #
+    def _basis_per_axis(self):
+        """(3, nb) basis-vector locations or None.  Handles both our stacked
+        array logs and the reference's per-tick list-of-3-axis format (the
+        basis is constant in regress mode; the first tick's is used)."""
+        bv = self.d.get("rgp_basis_vectors")
+        if bv is None:
+            return None
+        bv = np.asarray(bv)
+        return bv[0] if bv.ndim == 3 else bv            # (T,3,nb) -> (3,nb)
+
+    def _posterior_sigma(self):
+        """(T, 3, nb) per-basis-vector posterior std from the logged C_g_t,
+        or None when the covariance was not logged."""
+        cg = self.d.get("rgp_C_g_t")
+        if cg is None:
+            return None
+        cg = np.asarray(cg)                             # (T, 3, nb, nb)
+        var = np.diagonal(cg, axis1=-2, axis2=-1)
+        return np.sqrt(np.clip(var, 0.0, None))
+
     def plot_rgp_evolution(self, save_path: Optional[str] = None, show: bool = False,
                            ticks: Optional[list] = None):
         """Posterior mean at the basis vectors over selected ticks, plus the
@@ -175,15 +195,25 @@ class Visualiser:
             ticks = [0, T // 4, T // 2, 3 * T // 4, T - 1]
         xyz = ["x", "y", "z"]
         fig, axes = plt.subplots(1, 3, figsize=(15, 4.5), dpi=100)
-        basis = self.d.get("rgp_basis_vectors")
+        basis = self._basis_per_axis()
+        sig = self._posterior_sigma()                   # (T, 3, nb) | None
         for ax_i in range(3):
             a = axes[ax_i]
             a.scatter(vb[:, ax_i], ad[:, ax_i], s=2, alpha=0.3, label="samples")
-            xb = (np.asarray(basis)[ax_i] if basis is not None
+            xb = (basis[ax_i] if basis is not None
                   else np.linspace(vb[:, ax_i].min() - 1, vb[:, ax_i].max() + 1, nb))
             for k in ticks:
                 a.plot(xb, mu[k, ax_i], alpha=0.3 + 0.7 * k / max(T - 1, 1),
                        label=f"t={k}" if ax_i == 0 else None)
+            if sig is not None:
+                # +-2 sigma band around the first and final plotted posteriors
+                # (the reference's before/after uncertainty figures,
+                # `Visualiser.py:683-783`)
+                for k, col in ((ticks[0], "C2"), (ticks[-1], "C1")):
+                    a.fill_between(xb, mu[k, ax_i] - 2 * sig[k, ax_i],
+                                   mu[k, ax_i] + 2 * sig[k, ax_i],
+                                   alpha=0.15, color=col,
+                                   label=f"±2σ t={k}" if ax_i == 0 else None)
             a.set_xlabel(f"v_body {xyz[ax_i]} [m/s]")
             a.set_ylabel(f"drag accel {xyz[ax_i]} [m/s2]")
             a.grid(alpha=0.3)
@@ -201,14 +231,15 @@ class Visualiser:
         mu = np.asarray(self.d["rgp_mu_g_t"])           # (T, 3, nb)
         vb = np.asarray(self.d["v_body"])               # (T, 3)
         ad = np.asarray(self.d["a_drag"])               # (T, 3)
-        basis = self.d.get("rgp_basis_vectors")
+        basis = self._basis_per_axis()
+        sig = self._posterior_sigma()                   # (T, 3, nb) | None
         T, _, nb = mu.shape
         xyz = ["x", "y", "z"]
 
         fig, axes = plt.subplots(1, 3, figsize=(13, 4), dpi=80)
-        scats, lines = [], []
+        scats, lines, bands = [], [], [None, None, None]
         for ax_i, a in enumerate(axes):
-            xb = (np.asarray(basis)[ax_i] if basis is not None
+            xb = (basis[ax_i] if basis is not None
                   else np.linspace(np.min(vb[:, ax_i]) - 1, np.max(vb[:, ax_i]) + 1, nb))
             a.set_xlim(xb.min() - 0.5, xb.max() + 0.5)
             lo, hi = min(ad[:, ax_i].min(), mu[:, ax_i].min()), max(ad[:, ax_i].max(), mu[:, ax_i].max())
@@ -226,6 +257,15 @@ class Visualiser:
                 scats[ax_i].set_offsets(np.stack([vb[:k + 1, ax_i], ad[:k + 1, ax_i]], axis=1))
                 ln, xb = lines[ax_i]
                 ln.set_data(xb, mu[k, ax_i])
+                if sig is not None:
+                    # redraw the ±2σ uncertainty band each frame (the
+                    # reference's full posterior animation,
+                    # `Visualiser.py:459-670`)
+                    if bands[ax_i] is not None:
+                        bands[ax_i].remove()
+                    bands[ax_i] = axes[ax_i].fill_between(
+                        xb, mu[k, ax_i] - 2 * sig[k, ax_i],
+                        mu[k, ax_i] + 2 * sig[k, ax_i], alpha=0.2, color="C1")
             title.set_text(f"RGP posterior, t={k}")
             return scats + [ln for ln, _ in lines]
 

@@ -70,6 +70,7 @@ def run_episode_batch_fused(
     N = mpc.n_nodes
     n_sub = cfg.n_substeps
     use_rgp = rgp0 is not None
+    log_post = use_rgp and cfg.log_rgp_posterior
     B = x0.shape[0]
     T = x_trajectory.shape[1]
 
@@ -101,6 +102,9 @@ def run_episode_batch_fused(
             cost_solution=sol.cost, kkt_residual=sol.kkt_residual,
             rgp_mu_g_t=rgp_new.mu_g if use_rgp else None,
             v_body=v_body, a_drag=a_drag,
+            rgp_basis_vectors=rgp_new.X if log_post else None,
+            rgp_C_g_t=rgp_new.C_g if log_post else None,
+            rgp_theta=rgp_new.theta if log_post else None,
         )
         return EpisodeCarry(x=x_next, solver=solver_carry, rgp=rgp_new,
                             x_pred_prev=x_pred), out

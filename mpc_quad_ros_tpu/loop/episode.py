@@ -45,6 +45,12 @@ class EpisodeConfig(NamedTuple):
     # (`execute_trajectory.py:197-199`, `quad.py:86-87`)
     fault_tick: int = -1              # <0 disables
     fault_rotors: tuple = (1.0, 1.0, 1.0, 1.0)
+    log_rgp_posterior: bool = True
+    # log the full per-tick RGP posterior covariance / basis vectors / theta
+    # (the reference logs all of them every tick,
+    # `execute_trajectory.py:270-273`; consumed by the Visualiser's posterior
+    # animations).  C_g is (3, nb, nb) per tick — disable for huge scenario
+    # batches where (B, T, 3, nb, nb) would dominate memory.
 
     @property
     def n_substeps(self) -> int:
@@ -71,6 +77,12 @@ class EpisodeOutput(NamedTuple):
     rgp_mu_g_t: Optional[jnp.ndarray]   # (T, 3, nb) | None
     v_body: Optional[jnp.ndarray]       # (T, 3) | None
     a_drag: Optional[jnp.ndarray]       # (T, 3) | None
+    # full posterior logging (`execute_trajectory.py:270-273`) — constant-
+    # in-regress-mode X/theta are still stacked per tick for reference-format
+    # parity (a learn-mode episode would genuinely vary them)
+    rgp_basis_vectors: Optional[jnp.ndarray] = None  # (T, 3, nb) | None
+    rgp_C_g_t: Optional[jnp.ndarray] = None          # (T, 3, nb, nb) | None
+    rgp_theta: Optional[jnp.ndarray] = None          # (T, 3, 3) | None
 
 
 def run_episode(
@@ -100,6 +112,7 @@ def run_episode(
     N = mpc.n_nodes
     n_sub = cfg.n_substeps
     use_rgp = rgp0 is not None
+    log_post = use_rgp and cfg.log_rgp_posterior
 
     def tick(carry: EpisodeCarry, i):
         x = carry.x
@@ -150,6 +163,9 @@ def run_episode(
             rgp_mu_g_t=rgp_new.mu_g if use_rgp else None,
             v_body=v_body,
             a_drag=a_drag,
+            rgp_basis_vectors=rgp_new.X if log_post else None,
+            rgp_C_g_t=rgp_new.C_g if log_post else None,
+            rgp_theta=rgp_new.theta if log_post else None,
         )
         new_carry = EpisodeCarry(x=x_next, solver=solver_carry, rgp=rgp_new, x_pred_prev=x_pred)
         return new_carry, out

@@ -30,10 +30,14 @@ _AXES = ("x", "y", "z")
 
 
 class GPEnsemble:
-    def __init__(self, state, type: str):
+    def __init__(self, state, type: str, learn=None):
         assert type in ("GP", "RGP")
         self.state = state      # stacked (3, ...) GPState or RGPState
         self.type = type
+        # optional stacked (3, ...) RGPLearnState for learn-mode checkpointing
+        # (the joint basis+hyperparameter posterior); saved/loaded alongside
+        # the base state — the reference persists only theta (`RGP.py:507-534`)
+        self.learn = learn
 
     # ----------------------- constructors -----------------------
     @classmethod
@@ -70,9 +74,16 @@ class GPEnsemble:
     @classmethod
     def fromdir(cls, path: str, type: str) -> "GPEnsemble":
         """Load `mdl_{x,y,z}.gp|.rgp` files (`GPE.py:87-108`).  Files saved by
-        the reference (joblib pickles of {X, y, theta, ...}) load too."""
+        the reference (joblib pickles of {X, y, theta, ...}) load too.
+
+        Beyond the reference: our own `.rgp` files carry the posterior
+        covariance C_g (the reference drops it and restarts from the prior,
+        `RGP.py:507-534`) and, when present, the learn-mode hyperparameter
+        posterior (mu_eta, C_eta, C_g_eta) — both restored here."""
+        from .rgp import RGPLearnState
+
         ext = ".gp" if type == "GP" else ".rgp"
-        states = []
+        states, learns = [], []
         for ax in _AXES:
             with open(os.path.join(path, f"mdl_{ax}{ext}"), "rb") as f:
                 d = _robust_load(f)
@@ -80,9 +91,21 @@ class GPEnsemble:
             theta = np.asarray(d["theta"], dtype=np.float64).ravel()[:3]
             if type == "GP":
                 states.append(gp_init(X, y, theta))
-            else:
-                states.append(rgp_init(X, y, theta=theta))
-        return cls(jax.tree.map(lambda *ls: jnp.stack(ls), *states), type)
+                continue
+            C = d.get("C_g")
+            st = rgp_init(X, y, C=None if C is None else np.asarray(C), theta=theta)
+            states.append(st)
+            if "mu_eta" in d:
+                learns.append(RGPLearnState(
+                    base=st,
+                    mu_eta=jnp.asarray(np.asarray(d["mu_eta"]), dtype=st.X.dtype),
+                    C_eta=jnp.asarray(np.asarray(d["C_eta"]), dtype=st.X.dtype),
+                    C_g_eta=jnp.asarray(np.asarray(d["C_g_eta"]), dtype=st.X.dtype),
+                ))
+        state = jax.tree.map(lambda *ls: jnp.stack(ls), *states)
+        learn = (jax.tree.map(lambda *ls: jnp.stack(ls), *learns)
+                 if len(learns) == 3 else None)
+        return cls(state, type, learn=learn)
 
     # ----------------------- compute -----------------------
     def predict(self, X_t: jnp.ndarray) -> jnp.ndarray:
@@ -145,7 +168,15 @@ class GPEnsemble:
                     "X": np.asarray(self.state.X[d]),
                     "y": np.asarray(self.state.mu_g[d]),
                     "theta": np.asarray(self.state.theta[d]),
+                    # beyond the reference (which drops the posterior
+                    # covariance on save, `RGP.py:507-534`): keep C_g so a
+                    # reloaded RGP resumes with its learned uncertainty
+                    "C_g": np.asarray(self.state.C_g[d]),
                 }
+                if self.learn is not None:
+                    payload["mu_eta"] = np.asarray(self.learn.mu_eta[d])
+                    payload["C_eta"] = np.asarray(self.learn.C_eta[d])
+                    payload["C_g_eta"] = np.asarray(self.learn.C_g_eta[d])
             with open(os.path.join(path, f"mdl_{ax}{ext}"), "wb") as f:
                 pickle.dump(payload, f)
 

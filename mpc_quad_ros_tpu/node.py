@@ -288,6 +288,10 @@ class ControllerNode:
                 "rgp_mu_g_t": (np.asarray(self.rgp_state.mu_g) if self.use_gp == 2 else None),
                 "v_body": (np.asarray(v_body) if v_body is not None else None),
                 "a_drag": (np.asarray(a_drag) if a_drag is not None else None),
+                # full posterior keys (`execute_trajectory.py:270-273`)
+                "rgp_basis_vectors": (np.asarray(self.rgp_state.X) if self.use_gp == 2 else None),
+                "rgp_C_g_t": (np.asarray(self.rgp_state.C_g) if self.use_gp == 2 else None),
+                "rgp_theta": (np.asarray(self.rgp_state.theta) if self.use_gp == 2 else None),
             })
         self.x_pred_prev = x_pred_np
 

@@ -87,7 +87,11 @@ def run_sim(cfg: SimConfig, verbose: bool = True):
     p = quad_mk(payload=cfg.payload, dtype=dtype)
 
     mpc = MPCConfig(n_nodes=cfg.n_nodes, t_horizon=cfg.t_lookahead, u_ref=float(p.hover_input))
-    ecfg = EpisodeConfig(mpc=mpc, simulation_dt=cfg.simulation_dt)
+    # full RGP posterior logging (C_g_t is (3, nb, nb)/tick) for runs whose
+    # log a human will visualise; large scenario batches skip it — the
+    # (B, T, 3, nb, nb) stack would dominate memory
+    ecfg = EpisodeConfig(mpc=mpc, simulation_dt=cfg.simulation_dt,
+                         log_rgp_posterior=cfg.batch <= 8)
     solver = SQPSolver(mpc, make_mpc_dynamics(p))
 
     # initial condition (`execute_trajectory.py:129`)

@@ -10,11 +10,16 @@ from mpc_quad_ros_tpu.models.rgp import rgp_init, rgp_regress
 
 
 def test_weak_scaling_harness_runs_on_virtual_mesh():
+    """Structure-only: virtual CPU devices share the host's physical cores,
+    so the efficiency NUMBERS are meaningless here (bench/suite.py warns the
+    same) — assert the harness runs and reports, not how fast."""
     res = scaling(n_devices=4, episodes_per_device=2, ticks=3)
     assert len(res) == 4
     for row in res:
         assert row["tick_solves_per_s"] > 0
-        assert 0 < row["weak_scaling_efficiency"] <= 1.5
+        assert row["weak_scaling_efficiency"] > 0
+        assert set(row) >= {"devices", "episodes", "tick_solves_per_s",
+                            "weak_scaling_efficiency"}
 
 
 def test_rgp_f32_long_stream_stays_stable():

@@ -145,3 +145,39 @@ def test_learn_updates_hyperparameters_finitely():
     assert np.isfinite(np.asarray(ls.mu_eta)).all()
     assert np.isfinite(np.asarray(ls.base.mu_g)).all()
     assert not np.allclose(np.asarray(ls.mu_eta), [1.0, 0.5, 0.1])
+
+
+def test_learn_state_roundtrips_through_ensemble_save(tmp_path):
+    """RGPLearnState (and the posterior covariance C_g the reference drops,
+    `RGP.py:507-534`) must survive GPEnsemble.save/load — VERDICT r1 #8."""
+    import jax
+    from mpc_quad_ros_tpu.models.ensemble import GPEnsemble
+    from mpc_quad_ros_tpu.models.rgp import rgp_learn_init, rgp_learn
+
+    gpe = GPEnsemble.fromrange([(-3, 3)] * 3, 6, theta=(1.0, 0.5, 0.1),
+                               dtype=jnp.float64)
+    # stream a few samples through learn on each axis
+    learn = jax.vmap(rgp_learn_init)(gpe.state)
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        xt = jnp.asarray(rng.uniform(-3, 3, (3, 1)))
+        yt = jnp.sin(xt)
+        learn = jax.vmap(rgp_learn)(learn, xt, yt)
+    gpe.state = learn.base
+    gpe.learn = learn
+    gpe.save(str(tmp_path))
+
+    loaded = GPEnsemble.fromdir(str(tmp_path), "RGP")
+    np.testing.assert_allclose(np.asarray(loaded.state.mu_g), np.asarray(learn.base.mu_g), rtol=1e-6)
+    # C_g restored exactly (NOT reset to the prior like the reference)
+    np.testing.assert_allclose(np.asarray(loaded.state.C_g), np.asarray(learn.base.C_g), rtol=1e-6)
+    assert loaded.learn is not None
+    np.testing.assert_allclose(np.asarray(loaded.learn.mu_eta), np.asarray(learn.mu_eta), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.learn.C_eta), np.asarray(learn.C_eta), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.learn.C_g_eta), np.asarray(learn.C_g_eta), rtol=1e-6)
+    # plain (no-learn) saves still round-trip and carry no learn state
+    gpe2 = GPEnsemble.fromrange([(-3, 3)] * 3, 6, theta=(1.0, 0.5, 0.1))
+    gpe2.save(str(tmp_path / "plain"))
+    loaded2 = GPEnsemble.fromdir(str(tmp_path / "plain"), "RGP")
+    assert loaded2.learn is None
+    np.testing.assert_allclose(np.asarray(loaded2.state.C_g), np.asarray(gpe2.state.C_g), rtol=1e-6)

@@ -28,6 +28,35 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
+def flops_per_solve(N=10, nx=13, nu=4, nt=17, nb=10, qp_iters=12,
+                    f_eval_flops=600):
+    """Analytic FLOP count of one RGP-augmented SQP-RTI solve (for the
+    roofline/MFU line).  Phases: RK4 linearization with nt stacked tangents,
+    condensing recurrence + Gauss-Newton H/g accumulation, `qp_iters`
+    IPM factorizations (nz^3/3 Cholesky + triangular solves + matvec), and
+    the dX = Mz + d expansion.  f_eval_flops ~ one 13-state dynamics eval
+    incl. the 3x`nb` RGP mean (quaternion algebra + kernel row + matvec)."""
+    nz = N * nu
+    lin = N * 4 * (1 + nt) * f_eval_flops
+    condense = N * (2 * nx * nx * nz) + (N + 1) * (2 * nz * nz * nx)
+    qp = qp_iters * (nz**3 // 3 + 2 * 2 * nz * nz + 2 * nz * nz + 8 * nz)
+    expand = (N + 1) * 2 * nx * nz
+    return lin + condense + qp + expand
+
+
+# peak f32 vector+matrix throughput per chip, for the MFU denominator
+# (the workload is lane-parallel VPU work + small MXU contractions, so f32
+# peak is the honest reference point, not the bf16 MXU number)
+PEAK_F32_FLOPS = {
+    # device_kind (jax.devices()[0].device_kind) -> peak f32 FLOP/s
+    "TPU v4": 137.5e12 / 2,      # bf16 275 TF/s, f32 half
+    "TPU v5e": 196.6e12 / 2 / 2,  # v5e 394 TF/s bf16 per chip / 2 cores? use 49 TF/s f32
+    "TPU v5 lite": 49.0e12,
+    "TPU v5p": 229.5e12,
+    "TPU v6e": 91.5e12,
+}
+
+
 def main():
     from mpc_quad_ros_tpu.models.params import hummingbird_params
     from mpc_quad_ros_tpu.models.augmented import make_mpc_dynamics
@@ -80,6 +109,36 @@ def main():
     dt = time.perf_counter() - t0
 
     solves_per_s = B * iters * reps / dt
+
+    # --- device latency percentiles of one warm-started solve (B=1 lane- ---
+    # --- padded tile), tunnel-corrected by chaining K solves per dispatch ---
+    carry1 = jax.tree.map(lambda a: a[:1], carry)
+    x01, y_ref1 = x0[:1], y_ref[:1]
+    rgp1b = jax.tree.map(lambda a: a[:1], rgp)
+    K = 50
+
+    @jax.jit
+    def chain1(c, x, yr, r):
+        def body(c, _):
+            c2, sol = solver.solve_batch(c, x, yr, yr[:, -1], r)
+            return c2, sol.cost.sum()
+        return jax.lax.scan(body, c, None, length=K)
+
+    jax.block_until_ready(chain1(carry1, x01, y_ref1, rgp1b)[1])
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain1(carry1, x01, y_ref1, rgp1b)[1])
+        lat.append((time.perf_counter() - t0) / K * 1e3)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+
+    # --- roofline: analytic FLOPs/solve -> effective TFLOP/s and MFU ---
+    fps = flops_per_solve(N=cfg.n_nodes, nb=10, qp_iters=cfg.qp_iters)
+    eff_flops = solves_per_s * fps
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_F32_FLOPS.items() if k in kind), None)
     print(
         json.dumps(
             {
@@ -87,6 +146,13 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 10000.0, 3),
+                "latency_p50_ms": round(p50, 3),
+                "latency_p99_ms": round(p99, 3),
+                "latency_budget_ms": 10.0,
+                "flops_per_solve": fps,
+                "effective_tflops": round(eff_flops / 1e12, 4),
+                "mfu_vs_f32_peak": (round(eff_flops / peak, 5) if peak else None),
+                "device_kind": kind,
             }
         )
     )

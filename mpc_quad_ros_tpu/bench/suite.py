@@ -153,6 +153,54 @@ def closed_loop(B: int = 1024, v: float = 8.0, t_max: float = 10.0) -> dict:
     }
 
 
+def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256,
+                      ticks: int = 5) -> list:
+    """Backend crossover sweep: device time per solve of the condensed-IPM
+    path vs the Riccati recursion as the horizon N grows (fixed 0.1 s node
+    spacing, B vmapped scenarios, `ticks` warm-started solves chained in one
+    dispatch).  Condensing is O(N^2) memory / O(N^3 nu^3) factorization;
+    Riccati is O(N) — this measures where the sparse form wins on the
+    actual hardware (the backend's reason to exist, VERDICT weak #3)."""
+    from ..models.params import hummingbird_params
+    from ..models.augmented import make_mpc_dynamics
+    from ..ops import MPCConfig, SQPSolver
+    from ..ops.sqp import init_carry
+
+    dtype = jnp.float32
+    p = hummingbird_params(dtype=dtype)
+    out = []
+    for N in Ns:
+        row = {"n_nodes": N}
+        for method in ("pdip", "riccati"):
+            cfg = MPCConfig(n_nodes=N, t_horizon=0.1 * N,
+                            u_ref=float(p.hover_input), qp_method=method)
+            solver = SQPSolver(cfg, make_mpc_dynamics(p))
+            x0 = jnp.zeros((B, 13), dtype).at[:, 3].set(1.0).at[:, 2].set(3.0)
+            x0 = x0.at[:, 7].add(jnp.linspace(-2, 2, B, dtype=dtype))
+            y_ref = jnp.broadcast_to(x0[:, None, :], (B, N, 13))
+            carry = jax.vmap(lambda x: init_carry(cfg, x))(x0)
+
+            @jax.jit
+            def f(c, x, yr):
+                def body(c, _):
+                    c2, sol = jax.vmap(
+                        lambda cc, xx, rr: solver.solve(cc, xx, rr, rr[-1])
+                    )(c, x, yr)
+                    return c2, sol.cost.sum()
+                return jax.lax.scan(body, c, None, length=ticks)
+
+            jax.block_until_ready(f(carry, x0, y_ref)[1])
+            t0 = time.perf_counter()
+            for _ in range(3):
+                jax.block_until_ready(f(carry, x0, y_ref)[1])
+            dt = (time.perf_counter() - t0) / (3 * ticks)
+            row[f"{method}_us_per_solve"] = dt / B * 1e6
+        row["riccati_speedup"] = (row["pdip_us_per_solve"]
+                                  / row["riccati_us_per_solve"])
+        out.append(row)
+    return out
+
+
 def scaling(n_devices: int, episodes_per_device: int = 8, ticks: int = 10) -> list:
     """Weak scaling over a dp mesh: fixed per-device work, growing mesh.
     On the CPU backend this exercises the virtual-device mesh for
@@ -213,7 +261,8 @@ def main(argv=None):
     import os
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", choices=("latency", "throughput", "closed_loop", "scaling"),
+    ap.add_argument("--what", choices=("latency", "throughput", "closed_loop",
+                                       "scaling", "riccati_crossover"),
                     default="latency")
     ap.add_argument("--devices", type=int, default=None,
                     help="mesh size for --what scaling (default: all devices)")
@@ -231,6 +280,7 @@ def main(argv=None):
         args.devices = len(jax.devices())
     fn = {"latency": latency, "throughput": throughput,
           "closed_loop": closed_loop,
+          "riccati_crossover": riccati_crossover,
           "scaling": lambda: scaling(args.devices)}[args.what]
     res = fn()
     print(json.dumps(res, indent=2))

@@ -30,11 +30,24 @@ from jax.experimental.pallas import tpu as pltpu
 LANE_TILE = 128
 
 
-def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, L_ref, *, nz: int, iters: int):
+WS_GAMMA = 0.01   # warm-start primal interiority margin (fraction of width)
+WS_FLOOR = 1e-3   # warm-start dual floor (in the Jacobi-scaled system)
+
+
+def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
+               warm: bool):
     """Solve LANE_TILE box-QPs: refs are lanes-last.
 
     H_ref: (1, nz, nz, L);  g/lb/ub/z: (1, nz, L);  L_ref scratch: (nz, nz, L).
+    warm: two extra (1, nz, L) inputs carry the previous tick's duals
+    (zl0, zu0); the primal starts at 0 pushed into the box instead of the
+    midpoint (the RTI update re-centres the QP at z = 0, see `ops/qp.py`).
+    The post-solve duals are always written to the two dual output refs.
     """
+    if warm:
+        zl0_ref, zu0_ref, z_ref, zlo_ref, zuo_ref, L_ref = refs
+    else:
+        z_ref, zlo_ref, zuo_ref, L_ref = refs
     dtype = H_ref.dtype
     H = H_ref[0]                    # (nz, nz, L)
     g = g_ref[0]                    # (nz, L)
@@ -61,11 +74,20 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, L_ref, *, nz: int, iters: in
         """(nz, L), scalar j -> (L,): masked row extraction."""
         return jnp.sum(jnp.where(i2 == j, mat2, 0.0), axis=0)
 
-    z = 0.5 * (lb + ub)
+    if warm:
+        # duals live in the scaled system as zl' = zl * s (stationarity
+        # s(Hz+g) - s zl + s zu = 0); floor keeps the first steps off the
+        # central-path boundary
+        z = jnp.clip(jnp.zeros_like(g), lb + WS_GAMMA * width,
+                     ub - WS_GAMMA * width)
+        zl = jnp.maximum(zl0_ref[0] * s, WS_FLOOR)
+        zu = jnp.maximum(zu0_ref[0] * s, WS_FLOOR)
+    else:
+        z = 0.5 * (lb + ub)
+        zl = jnp.ones_like(z)
+        zu = jnp.ones_like(z)
     sl = z - lb
     su = ub - z
-    zl = jnp.ones_like(z)
-    zu = jnp.ones_like(z)
 
     PANEL = 4                      # nu: panel width for the blocked Cholesky
     n_panels = (nz + PANEL - 1) // PANEL
@@ -158,43 +180,62 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, z_ref, L_ref, *, nz: int, iters: in
 
     z, sl, su, zl, zu = jax.lax.fori_loop(0, iters, ipm_iter, (z, sl, su, zl, zu))
     z_ref[0] = jnp.clip(z, lb, ub) * s    # undo the Jacobi scaling
+    zlo_ref[0] = zl / s
+    zuo_ref[0] = zu / s
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("iters", "interpret",
+                                             "return_duals"))
 def solve_box_qp_pdip_pallas_tiled(Ht: jnp.ndarray, gt: jnp.ndarray,
                                    lbt: jnp.ndarray, ubt: jnp.ndarray,
                                    iters: int = 12,
-                                   interpret: bool = False) -> jnp.ndarray:
+                                   interpret: bool = False,
+                                   zl0t: jnp.ndarray | None = None,
+                                   zu0t: jnp.ndarray | None = None,
+                                   return_duals: bool = False):
     """Tiled-layout batched box-QP solve — the zero-relayout entry used by the
     all-Pallas SQP pipeline.  Ht: (nt, nz, nz, LANE), vectors (nt, nz, LANE);
     H must be symmetric (the condense kernel builds it so by construction);
-    Jacobi scaling happens inside the kernel.  Returns z tiled (nt, nz, LANE).
+    Jacobi scaling happens inside the kernel.  zl0t/zu0t warm-start the IPM
+    duals (see `_qp_kernel`).  Returns z tiled (nt, nz, LANE), or
+    (z, zl, zu) with return_duals.
     """
     nt, nz = Ht.shape[0], Ht.shape[1]
-    kernel = functools.partial(_qp_kernel, nz=nz, iters=iters)
+    warm = zl0t is not None
+    kernel = functools.partial(_qp_kernel, nz=nz, iters=iters, warm=warm)
     vec_spec = pl.BlockSpec((1, nz, LANE_TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    vec_shape = jax.ShapeDtypeStruct((nt, nz, LANE_TILE), Ht.dtype)
+    inputs = [Ht, gt, lbt, ubt] + ([zl0t, zu0t] if warm else [])
+    z, zl, zu = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, nz, nz, LANE_TILE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            vec_spec, vec_spec, vec_spec,
-        ],
-        out_specs=vec_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, nz, LANE_TILE), Ht.dtype),
+        ] + [vec_spec] * (len(inputs) - 1),
+        out_specs=(vec_spec, vec_spec, vec_spec),
+        out_shape=(vec_shape, vec_shape, vec_shape),
         scratch_shapes=[pltpu.VMEM((nz, nz, LANE_TILE), Ht.dtype)],
         interpret=interpret,
-    )(Ht, gt, lbt, ubt)
+    )(*inputs)
+    if return_duals:
+        return z, zl, zu
+    return z
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("iters", "interpret",
+                                             "return_duals"))
 def solve_box_qp_pdip_pallas(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray,
                              ub: jnp.ndarray, iters: int = 12,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             zl0: jnp.ndarray | None = None,
+                             zu0: jnp.ndarray | None = None,
+                             return_duals: bool = False):
     """Batched box-QP solve.  H: (B, nz, nz), g: (B, nz), bounds (nz,) or
-    (B, nz).  B is padded internally to a multiple of 128.  Returns (B, nz)."""
+    (B, nz).  B is padded internally to a multiple of 128.  zl0/zu0 (B, nz)
+    warm-start the IPM duals.  Returns (B, nz) z, or (z, zl, zu)."""
     B, nz, _ = H.shape
     dtype = H.dtype
+    warm = zl0 is not None
 
     # The masked Cholesky consumes full columns of H, so enforce exact
     # symmetry (f32 MXU-assembled Hessians are asymmetric at ~1e-3 relative);
@@ -211,14 +252,27 @@ def solve_box_qp_pdip_pallas(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray,
         g = jnp.concatenate([g, jnp.zeros((pad, nz), dtype)], axis=0)
         lb = jnp.concatenate([lb, jnp.zeros((pad, nz), dtype)], axis=0)
         ub = jnp.concatenate([ub, jnp.ones((pad, nz), dtype)], axis=0)
+        if warm:
+            ones = jnp.ones((pad, nz), dtype)
+            zl0 = jnp.concatenate([zl0, ones], axis=0)
+            zu0 = jnp.concatenate([zu0, ones], axis=0)
 
     # lanes layout: (tiles, nz, nz, LANE) / (tiles, nz, LANE)
     nt = Bp // LANE_TILE
     Ht = H.reshape(nt, LANE_TILE, nz, nz).transpose(0, 2, 3, 1)
-    gt = g.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
-    lbt = lb.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
-    ubt = ub.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
 
-    zt = solve_box_qp_pdip_pallas_tiled(Ht, gt, lbt, ubt, iters=iters,
-                                        interpret=interpret)
-    return zt.transpose(0, 2, 1).reshape(Bp, nz)[:B]
+    def to_t(v):
+        return v.reshape(nt, LANE_TILE, nz).transpose(0, 2, 1)
+
+    def from_t(vt):
+        return vt.transpose(0, 2, 1).reshape(Bp, nz)[:B]
+
+    out = solve_box_qp_pdip_pallas_tiled(
+        Ht, to_t(g), to_t(lb), to_t(ub), iters=iters, interpret=interpret,
+        zl0t=to_t(zl0) if warm else None,
+        zu0t=to_t(zu0) if warm else None,
+        return_duals=return_duals,
+    )
+    if return_duals:
+        return tuple(from_t(v) for v in out)
+    return from_t(out)

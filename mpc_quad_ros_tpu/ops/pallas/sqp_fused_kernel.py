@@ -47,27 +47,38 @@ LANE_TILE = 128
 NX, NU, NT = 13, 4, 17
 
 
+WS_GAMMA = 0.01   # warm-start primal interiority margin (fraction of width)
+WS_FLOOR = 1e-3   # warm-start dual floor (in the Jacobi-scaled system)
+
+
 def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
                   *refs, f, dt: float, N: int, q: tuple, p: tuple, rw: tuple,
-                  iters: int, with_aug: bool):
+                  iters: int, with_aug: bool, warm: bool):
     """One tile = LANE_TILE scenarios, lanes-last.
 
     X: (1, N+1, nx, L); U: (1, N, nu, L); dx0: (1, nx, L);
     ex0 = X - yref: (1, N+1, nx, L); gu = rw*(Uflat - u_ref): (1, nz, L);
     lb/ub = u bounds minus Uflat: (1, nz, L).
     Aug (folded RGP drag, per scenario): Xb/wb (1, 3, nb, L), Lb/sfb (1, 3, L).
-    Outputs: z (1, nz, L), dX (1, N+1, nx, L), kkt (1, 1, L).
+    warm: two extra (1, nz, L) inputs carry the previous tick's IPM duals.
+    Outputs: z (1, nz, L), dX (1, N+1, nx, L), kkt (1, 1, L),
+    zl/zu (1, nz, L) post-solve duals (the cross-tick warm-start state).
     Scratch: M_all (N+1, nx, nz, L), d_all (N+1, nx, L).
     """
     nx, nu = NX, NU
     nz = N * nu
     L = LANE_TILE
+    refs = list(refs)
     if with_aug:
-        Xb_ref, wb_ref, Lb_ref, sfb_ref, z_out, Xd_out, kkt_out, M_all, d_all = refs
+        Xb_ref, wb_ref, Lb_ref, sfb_ref = refs[:4]
+        refs = refs[4:]
         aug = (Xb_ref[0], wb_ref[0], Lb_ref[0], sfb_ref[0])
     else:
-        z_out, Xd_out, kkt_out, M_all, d_all = refs
         aug = None
+    if warm:
+        zl0_ref, zu0_ref = refs[:2]
+        refs = refs[2:]
+    z_out, Xd_out, kkt_out, zlo_ref, zuo_ref, M_all, d_all = refs
     dtype = X_ref.dtype
 
     def step(x, u):
@@ -154,11 +165,19 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     ub = ub0 / s
     width = ub - lb
 
-    z = 0.5 * (lb + ub)
+    if warm:
+        # scaled-system duals: zl' = zl * s (see qp_kernel); primal starts at
+        # z = 0 (the RTI re-centring) pushed WS_GAMMA into the box
+        z = jnp.clip(jnp.zeros_like(g), lb + WS_GAMMA * width,
+                     ub - WS_GAMMA * width)
+        zl = jnp.maximum(zl0_ref[0] * s, WS_FLOOR)
+        zu = jnp.maximum(zu0_ref[0] * s, WS_FLOOR)
+    else:
+        z = 0.5 * (lb + ub)
+        zl = jnp.ones_like(z)
+        zu = jnp.ones_like(z)
     sl = z - lb
     su = ub - z
-    zl = jnp.ones_like(z)
-    zu = jnp.ones_like(z)
 
     PANEL = 4
     n_panels = (nz + PANEL - 1) // PANEL
@@ -242,6 +261,8 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
         return (z, sl, su, zl, zu)
 
     z, sl, su, zl, zu = jax.lax.fori_loop(0, iters, ipm_iter, (z, sl, su, zl, zu))
+    zlo_ref[0] = zl / s                                  # unscaled duals out
+    zuo_ref[0] = zu / s
     z = jnp.clip(z, lb, ub) * s                          # undo Jacobi scaling
     z_out[0] = z
 
@@ -257,22 +278,25 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
 
 @functools.partial(jax.jit, static_argnames=("f", "dt", "q", "p", "rw",
                                              "iters", "interpret"))
-def _call(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves, f, dt, q, p, rw,
-          iters, interpret):
+def _call(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves, duals, f, dt, q, p,
+          rw, iters, interpret):
     """All inputs tiled lanes-last: Xt (nt, N+1, nx, L), Ut (nt, N, nu, L),
     dx0t (nt, nx, L), ex0t (nt, N+1, nx, L), gut/lbt/ubt (nt, nz, L);
     aug_leaves (folded drag, per scenario): Xb/wb (nt, 3, nb, L),
-    Lb/sfb (nt, 3, L) or None.  Returns (zt (nt, nz, L),
-    Xdt (nt, N+1, nx, L), kkt (nt, 1, L))."""
+    Lb/sfb (nt, 3, L) or None; duals = (zl0t, zu0t) each (nt, nz, L) or None.
+    Returns (zt (nt, nz, L), Xdt (nt, N+1, nx, L), kkt (nt, 1, L),
+    zlt, zut (nt, nz, L))."""
     nt, Np1, nx, L = Xt.shape
     N = Np1 - 1
     nu = Ut.shape[2]
     nz = N * nu
     dtype = Xt.dtype
     with_aug = aug_leaves is not None
+    warm = duals is not None
 
     kernel = functools.partial(_fused_kernel, f=f, dt=dt, N=N, q=q, p=p,
-                               rw=rw, iters=iters, with_aug=with_aug)
+                               rw=rw, iters=iters, with_aug=with_aug,
+                               warm=warm)
 
     def spec(shape):
         nd = len(shape)
@@ -289,16 +313,23 @@ def _call(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves, f, dt, q, p, rw,
         inputs += [Xb, wb, Lb, sfb]
         in_specs += [spec((3, nb, L)), spec((3, nb, L)),
                      spec((3, L)), spec((3, L))]
+    if warm:
+        inputs += [duals[0], duals[1]]
+        in_specs += [spec((nz, L)), spec((nz, L))]
 
+    zvec = jax.ShapeDtypeStruct((nt, nz, L), dtype)
     return pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=(spec((nz, L)), spec((N + 1, nx, L)), spec((1, L))),
+        out_specs=(spec((nz, L)), spec((N + 1, nx, L)), spec((1, L)),
+                   spec((nz, L)), spec((nz, L))),
         out_shape=(
-            jax.ShapeDtypeStruct((nt, nz, L), dtype),
+            zvec,
             jax.ShapeDtypeStruct((nt, N + 1, nx, L), dtype),
             jax.ShapeDtypeStruct((nt, 1, L), dtype),
+            zvec,
+            zvec,
         ),
         scratch_shapes=[
             pltpu.VMEM((N + 1, nx, nz, L), dtype),
@@ -323,9 +354,9 @@ def make_fused_sqp_step(p, dt: float):
         return builder_cache[nb]
 
     def fused_step(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves,
-                   q, p_term, rw, iters, interpret=False):
+                   q, p_term, rw, iters, interpret=False, duals=None):
         nb = aug_leaves[0].shape[2] if aug_leaves is not None else None
-        return _call(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves,
+        return _call(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves, duals,
                      f_for(nb), dt, tuple(q), tuple(p_term), tuple(rw),
                      iters, interpret)
 

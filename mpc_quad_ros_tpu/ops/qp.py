@@ -38,9 +38,14 @@ def _sym_solve(M: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+WS_GAMMA = 0.01   # warm-start primal interiority margin (fraction of box width)
+WS_FLOOR = 1e-3   # warm-start dual floor
+
+
+@partial(jax.jit, static_argnames=("iters", "return_duals"))
 def solve_box_qp_pdip(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray,
-                      iters: int = 12) -> jnp.ndarray:
+                      iters: int = 12, zl0: jnp.ndarray | None = None,
+                      zu0: jnp.ndarray | None = None, return_duals: bool = False):
     """Primal-dual interior point for box QPs, fixed `iters` Newton steps.
 
     KKT system with slacks sl = z - lb, su = ub - z and multipliers zl, zu:
@@ -50,17 +55,32 @@ def solve_box_qp_pdip(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray, ub: jnp.n
     solved by batched Cholesky.  The barrier mu shrinks geometrically with a
     Mehrotra-flavoured adaptive target; steps are damped by
     fraction-to-the-boundary.  All shapes static -> vmap/pjit friendly.
+
+    Warm start (zl0/zu0 given — the RTI cross-tick path, the role HPIPM's
+    warm start plays inside acados SQP_RTI, `quad_opt.py:147-151`): in the
+    RTI update U+ = U + z the next tick's QP is centred at z = 0 with the
+    SAME u-box (shifted by z), so the previous tick's optimum maps to
+    (z=0, zl, zu) exactly up to relinearization.  The primal starts at 0
+    pushed WS_GAMMA into the box; duals are floored at WS_FLOOR.  With no
+    zl0/zu0 the classic cold start (midpoint primal, unit duals) is used —
+    bit-identical to the historical behaviour.
     """
     nz = H.shape[-1]
     dtype = H.dtype
     width = ub - lb
 
-    # strictly interior start
-    z = 0.5 * (lb + ub)
+    if zl0 is None:
+        # strictly interior cold start
+        z = 0.5 * (lb + ub)
+        zl = jnp.ones((nz,), dtype)
+        zu = jnp.ones((nz,), dtype)
+    else:
+        z = jnp.clip(jnp.zeros((nz,), dtype), lb + WS_GAMMA * width,
+                     ub - WS_GAMMA * width)
+        zl = jnp.maximum(zl0, WS_FLOOR)
+        zu = jnp.maximum(zu0, WS_FLOOR)
     sl = z - lb
     su = ub - z
-    zl = jnp.ones((nz,), dtype)
-    zu = jnp.ones((nz,), dtype)
 
     def body(carry, _):
         z, sl, su, zl, zu = carry
@@ -100,8 +120,11 @@ def solve_box_qp_pdip(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray, ub: jnp.n
         zu = jnp.maximum(zu + alpha * dzu, jnp.asarray(1e-12, dtype))
         return (z, sl, su, zl, zu), None
 
-    (z, *_), _ = jax.lax.scan(body, (z, sl, su, zl, zu), None, length=iters)
-    return jnp.clip(z, lb, ub)
+    (z, sl, su, zl, zu), _ = jax.lax.scan(body, (z, sl, su, zl, zu), None, length=iters)
+    zc = jnp.clip(z, lb, ub)
+    if return_duals:
+        return zc, zl, zu
+    return zc
 
 
 @partial(jax.jit, static_argnames=("iters",))

@@ -8,8 +8,15 @@ sweep O(N (nx+nu)^3) and a forward rollout, both `lax.scan`s (SURVEY §5.7's
 
 Box constraints are handled by clamping the feedforward at rollout time
 (projected-LQR approximation — exact when no bound is active, conservative
-otherwise).  For bound-tight problems at small N prefer the condensed IPM
-path; this backend targets long-horizon planning sweeps.
+otherwise).  Measured against the condensed IPM at full SQP convergence
+(N=10, f64, hover->climb instances; `tests/test_riccati.py`):
+  interior (0.3 m climb):       identical to 1e-13
+  mildly active (0.5 m):        same active set, |du| < 1e-2, cost +0.16%
+  heavily saturated (1.5 m):    stalls at cost +36% — truthfully reported
+                                through the nonlinear projected-gradient
+                                kkt_residual (see `sqp._gn_step_riccati`)
+For bound-tight problems at small N use the condensed IPM path; this backend
+targets long-horizon planning sweeps where bounds are rarely slammed.
 
 Equations (standard time-varying LQR with affine terms):
     P_N = Q_N,  p_N = q_N

@@ -74,6 +74,23 @@ class MPCConfig(NamedTuple):
     # Pallas kernel with zero HBM traffic between phases; "split" chains the
     # three per-phase kernels (kept as the numerical cross-check and for
     # dims where the fused kernel is not built).
+    warm_start_duals: bool = False
+    # Carry the IPM dual state (zl, zu) across RTI ticks and seed the QP from
+    # it — the role HPIPM's warm start plays inside acados SQP_RTI
+    # (`quad_opt.py:147-151`).  MEASURED NEGATIVE on this workload, hence
+    # default False: on a 40-tick RTI chain with an aggressive transient
+    # (hover -> 4 m step at v=2.5, f32, N=10) the active set flips between
+    # ticks and a warm-started IPM crawls along the boundary — max chain KKT
+    # 1.0 vs cold 8.1e-4 at 12 iters; centred warm starts (z=0 pushed 0.01
+    # into the box, duals mu0/slack) and guarded dual-informed active-set
+    # polish steps were also measured and do not beat 12 cold iterations at
+    # equal factorization count (cold+polish: KKT unchanged on the hard
+    # ticks; see CLAUDE.md numerics notes).  The plumbing is kept because
+    # warm starts DO pay on near-steady chains — measured on a 40-tick
+    # regulation chain (0.5 m step): warm@6 iters max KKT 4.2e-4 == cold@12's
+    # 4.2e-4, warm@8 2.7e-4 < cold@12 — half the factorizations at equal
+    # accuracy.  Opt in per deployment after measuring YOUR tick-to-tick
+    # active-set churn.
 
     @property
     def dt(self) -> float:
@@ -103,10 +120,13 @@ class MPCConfig(NamedTuple):
 
 
 class SolverCarry(NamedTuple):
-    """Warm-started primal trajectory — the RTI state carried across ticks."""
+    """Warm-started primal trajectory + IPM dual state — the RTI state
+    carried across ticks (acados keeps the same pair inside HPIPM)."""
 
     X: jnp.ndarray  # (N+1, 13)
     U: jnp.ndarray  # (N, 4)
+    zl: Optional[jnp.ndarray] = None  # (N*nu,) lower-bound multipliers
+    zu: Optional[jnp.ndarray] = None  # (N*nu,) upper-bound multipliers
 
 
 class MPCSolution(NamedTuple):
@@ -122,7 +142,13 @@ def init_carry(cfg: MPCConfig, x0: jnp.ndarray, u0: Optional[jnp.ndarray] = None
     if u0 is None:
         u0 = jnp.full((4,), cfg.u_ref, dtype=x0.dtype)
     U = jnp.broadcast_to(u0, (N, 4)).astype(x0.dtype)
-    return SolverCarry(X=X, U=U)
+    zl = zu = None
+    if cfg.warm_start_duals:
+        # unit duals == the IPM's cold-start value; the first solve behaves
+        # like a (floored) cold start and every later tick inherits real duals
+        zl = jnp.ones((N * 4,), dtype=x0.dtype)
+        zu = jnp.ones((N * 4,), dtype=x0.dtype)
+    return SolverCarry(X=X, U=U, zl=zl, zu=zu)
 
 
 class SQPSolver:
@@ -199,19 +225,26 @@ class SQPSolver:
         return M, d
 
     # ------------------------------------------------------------------ #
-    def _gn_step(self, X, U, x0, y_ref, y_ref_N, aug):
-        """One Gauss-Newton iteration: linearize -> condense -> box QP -> update."""
+    def _gn_step(self, X, U, zl, zu, x0, y_ref, y_ref_N, aug):
+        """One Gauss-Newton iteration: linearize -> condense -> box QP -> update.
+        (zl, zu) are the carried IPM duals (None = cold start / not carried);
+        returns the post-solve duals alongside the updated trajectory."""
         cfg = self.cfg
         N = cfg.n_nodes
         nu = U.shape[-1]
 
         if cfg.qp_method == "riccati":
-            return self._gn_step_riccati(X, U, x0, y_ref, y_ref_N, aug)
+            Xn, Un, kkt = self._gn_step_riccati(X, U, x0, y_ref, y_ref_N, aug)
+            return Xn, Un, zl, zu, kkt
 
         H, g, lb, ub, M, d = self._assemble(X, U, x0, y_ref, y_ref_N, aug)
 
         if cfg.qp_method == "pdip":
-            z = solve_box_qp_pdip(H, g, lb, ub, iters=cfg.qp_iters)
+            if cfg.warm_start_duals and zl is not None:
+                z, zl, zu = solve_box_qp_pdip(H, g, lb, ub, iters=cfg.qp_iters,
+                                              zl0=zl, zu0=zu, return_duals=True)
+            else:
+                z = solve_box_qp_pdip(H, g, lb, ub, iters=cfg.qp_iters)
         else:
             z = solve_box_qp_projected_newton(H, g, lb, ub, iters=cfg.qp_iters)
 
@@ -221,7 +254,7 @@ class SQPSolver:
 
         U_new = U + z.reshape(N, nu)
         X_new = X + d + jnp.einsum("kxz,z->kx", M, z)
-        return X_new, U_new, kkt
+        return X_new, U_new, zl, zu, kkt
 
     # ------------------------------------------------------------------ #
     def solve(self, carry: SolverCarry, x0: jnp.ndarray, y_ref: jnp.ndarray,
@@ -237,21 +270,26 @@ class SQPSolver:
         """
         cfg = self.cfg
         aug = _fold_aug(aug)
-        X, U = carry.X, carry.U
+        X, U, zl, zu = carry.X, carry.U, carry.zl, carry.zu
         if cfg.shift_warm_start:
             X = jnp.concatenate([X[1:], X[-1:]], axis=0)
             U = jnp.concatenate([U[1:], U[-1:]], axis=0)
+            if zl is not None:
+                nu = U.shape[-1]
+                zl = jnp.concatenate([zl[nu:], zl[-nu:]])
+                zu = jnp.concatenate([zu[nu:], zu[-nu:]])
 
         def one_iter(carry_xu, _):
-            X, U = carry_xu
-            X, U, kkt = self._gn_step(X, U, x0, y_ref, y_ref_N, aug)
-            return (X, U), kkt
+            X, U, zl, zu = carry_xu
+            X, U, zl, zu, kkt = self._gn_step(X, U, zl, zu, x0, y_ref, y_ref_N, aug)
+            return (X, U, zl, zu), kkt
 
-        (X, U), kkts = jax.lax.scan(one_iter, (X, U), None, length=cfg.sqp_iters)
+        (X, U, zl, zu), kkts = jax.lax.scan(
+            one_iter, (X, U, zl, zu), None, length=cfg.sqp_iters)
 
         cost = self.ls_cost(X, U, y_ref, y_ref_N)
         sol = MPCSolution(X=X, U=U, cost=cost, kkt_residual=kkts[-1])
-        return SolverCarry(X=X, U=U), sol
+        return SolverCarry(X=X, U=U, zl=zl, zu=zu), sol
 
     # ------------------------------------------------------------------ #
     def _gn_step_riccati(self, X, U, x0, y_ref, y_ref_N, aug):
@@ -307,7 +345,20 @@ class SQPSolver:
 
         U_cand, X_cand, costs = jax.vmap(candidate)(alphas)
         best = jnp.argmin(costs)
-        return X_cand[best], U_cand[best], jnp.asarray(0.0, dtype)
+        U_best, X_best = U_cand[best], X_cand[best]
+
+        # TRUE projected-gradient KKT residual of the nonlinear problem at the
+        # accepted point: grad_U J(U) through the rollout (reverse-mode over
+        # the N-step scan), projected onto the u box.  Stronger than the
+        # condensed path's QP-subproblem residual — it measures stationarity
+        # of the actual returned trajectory, which is the honest metric for a
+        # backend whose line search may accept alpha < 1.
+        grad_U = jax.grad(
+            lambda Uc: self.ls_cost(rollout(Uc), Uc, y_ref, y_ref_N)
+        )(U_best)
+        proj = jnp.clip(U_best - grad_U, cfg.u_lb, cfg.u_ub) - U_best
+        kkt = jnp.max(jnp.abs(proj))
+        return X_best, U_best, kkt
 
     # ------------------------------------------------------------------ #
     def _assemble(self, X, U, x0, y_ref, y_ref_N, aug):
@@ -415,7 +466,7 @@ class SQPSolver:
         ub = jnp.broadcast_to(cfg.u_ub - U.reshape(B, nz), (B, nz))
         return H, g, lb, ub, M, d
 
-    def _gn_step_batch_tiled(self, X, U, x0, y_ref, y_ref_N, aug):
+    def _gn_step_batch_tiled(self, X, U, zl, zu, x0, y_ref, y_ref_N, aug):
         """One batched Gauss-Newton step with ZERO layout changes between the
         Pallas stages: the lin kernel's raw tangent tiles feed the condense
         kernel column-wise, whose H/g tiles feed the QP kernel, all in the
@@ -488,8 +539,16 @@ class SQPSolver:
         lbt = cfg.u_lb - Uf_t
         ubt = cfg.u_ub - Uf_t
 
-        zt = solve_box_qp_pdip_pallas_tiled(Ht, gt, lbt, ubt,
-                                            iters=cfg.qp_iters, interpret=interp)
+        warm = cfg.warm_start_duals and zl is not None
+        if warm:
+            zt, zlt, zut = solve_box_qp_pdip_pallas_tiled(
+                Ht, gt, lbt, ubt, iters=cfg.qp_iters, interpret=interp,
+                zl0t=tile(zl), zu0t=tile(zu), return_duals=True)
+            zl, zu = untile(zlt), untile(zut)
+        else:
+            zt = solve_box_qp_pdip_pallas_tiled(Ht, gt, lbt, ubt,
+                                                iters=cfg.qp_iters,
+                                                interpret=interp)
 
         # projected-gradient KKT residual, computed in the tiled layout
         grad_t = jnp.einsum("tijl,tjl->til", Ht, zt) + gt
@@ -499,9 +558,9 @@ class SQPSolver:
         U_new = U + untile(zt).reshape(B, N, nu)
         Xd_t = dt_ + jnp.einsum("tkxzl,tzl->tkxl", Mt, zt)
         X_new = X + untile(Xd_t)
-        return X_new, U_new, kkt
+        return X_new, U_new, zl, zu, kkt
 
-    def _gn_step_batch_fused(self, X, U, x0, y_ref, y_ref_N, aug):
+    def _gn_step_batch_fused(self, X, U, zl, zu, x0, y_ref, y_ref_N, aug):
         """One batched Gauss-Newton step as ONE fused Pallas kernel
         (`ops/pallas/sqp_fused_kernel.py`): linearization, condensing, the
         interior-point box QP, the KKT residual and the dX = Mz + d expansion
@@ -541,15 +600,20 @@ class SQPSolver:
         # the folded drag is per SCENARIO here — no N-stage broadcast
         aug_leaves = tuple(tile(leaf) for leaf in aug) if aug is not None else None
 
+        warm = cfg.warm_start_duals and zl is not None
+        duals = (tile(zl), tile(zu)) if warm else None
+
         q_s, q_term, rw_s = cfg.weight_tuples()
-        zt, Xd_t, kkt_t = self._fused_step(
+        zt, Xd_t, kkt_t, zlt, zut = self._fused_step(
             X_t, U_t, dx0_t, ex0_t, gu_t, lbt, ubt, aug_leaves,
-            q_s, q_term, rw_s, cfg.qp_iters, interpret=interp)
+            q_s, q_term, rw_s, cfg.qp_iters, interpret=interp, duals=duals)
+        if warm:
+            zl, zu = untile(zlt), untile(zut)
 
         U_new = U + untile(zt).reshape(B, N, nu)
         X_new = X + untile(Xd_t)
         kkt = untile(kkt_t)[:, 0]
-        return X_new, U_new, kkt
+        return X_new, U_new, zl, zu, kkt
 
     def solve_batch(self, carry: SolverCarry, x0: jnp.ndarray, y_ref: jnp.ndarray,
                     y_ref_N: jnp.ndarray, aug=None) -> tuple[SolverCarry, MPCSolution]:
@@ -596,15 +660,17 @@ class SQPSolver:
             aug = jax.tree.map(pad, aug) if aug is not None else None
             Bsz = Bp
 
-        X, U = carry.X, carry.U
+        X, U, zl, zu = carry.X, carry.U, carry.zl, carry.zu
+        warm = cfg.warm_start_duals and zl is not None
 
         def one_iter(carry_xu, _):
-            X, U = carry_xu
+            X, U, zl, zu = carry_xu
             if tiled:
                 step = (self._gn_step_batch_fused if cfg.pipeline == "fused"
                         else self._gn_step_batch_tiled)
-                X_new, U_new, kkt = step(X, U, x0, y_ref, y_ref_N, aug)
-                return (X_new, U_new), kkt
+                X_new, U_new, zl, zu, kkt = step(X, U, zl, zu, x0, y_ref,
+                                                 y_ref_N, aug)
+                return (X_new, U_new, zl, zu), kkt
             if use_soa:
                 H, g, lb, ub, M, d = self._assemble_batch_soa(X, U, x0, y_ref, y_ref_N, aug)
             elif aug is None:
@@ -615,21 +681,29 @@ class SQPSolver:
                 H, g, lb, ub, M, d = _jax.vmap(self._assemble)(X, U, x0, y_ref, y_ref_N, aug)
 
             interpret = _jax.default_backend() != "tpu"
-            z = solve_box_qp_pdip_pallas(H, g, lb, ub, iters=cfg.qp_iters,
-                                         interpret=interpret)
+            if warm:
+                z, zl, zu = solve_box_qp_pdip_pallas(
+                    H, g, lb, ub, iters=cfg.qp_iters, interpret=interpret,
+                    zl0=zl, zu0=zu, return_duals=True)
+            else:
+                z = solve_box_qp_pdip_pallas(H, g, lb, ub, iters=cfg.qp_iters,
+                                             interpret=interpret)
             kkt = _jax.vmap(qp_kkt_residual)(H, g, lb, ub, z)
             U_new = U + z.reshape(Bsz, N, nu)
             X_new = X + d + jnp.einsum("bkxz,bz->bkx", M, z)
-            return (X_new, U_new), kkt
+            return (X_new, U_new, zl, zu), kkt
 
-        (X, U), kkts = jax.lax.scan(one_iter, (X, U), None, length=cfg.sqp_iters)
+        (X, U, zl, zu), kkts = jax.lax.scan(
+            one_iter, (X, U, zl, zu), None, length=cfg.sqp_iters)
 
         cost = _jax.vmap(self.ls_cost)(X, U, y_ref, y_ref_N)
         if Bsz != B_orig:
             X, U, cost = X[:B_orig], U[:B_orig], cost[:B_orig]
             kkts = kkts[:, :B_orig]
+            if zl is not None:
+                zl, zu = zl[:B_orig], zu[:B_orig]
         sol = MPCSolution(X=X, U=U, cost=cost, kkt_residual=kkts[-1])
-        return SolverCarry(X=X, U=U), sol
+        return SolverCarry(X=X, U=U, zl=zl, zu=zu), sol
 
     # ------------------------------------------------------------------ #
     def ls_cost(self, X, U, y_ref, y_ref_N) -> jnp.ndarray:

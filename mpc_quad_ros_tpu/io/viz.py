@@ -306,3 +306,111 @@ def _finish(fig, save_path, show):
         plt.show()
     plt.close(fig)
     return save_path
+
+
+class LiveFlightView:
+    """In-flight visualization — the rviz-marker equivalent
+    (`/root/reference/src/mpc_controller_node.py:639-734`: reference-chunk
+    path, MPC-optimal path, target marker), driven by the `LiveFrame`
+    callback of `node.ControllerNode(live_callback=...)`.
+
+    Works headless: frames are rendered into an internal figure that can be
+    saved per-frame (`save_every` + `out_dir`), exported as an animation
+    (`to_animation`), or shown interactively (`interactive=True` on a display
+    backend).  The flown path accumulates as a trail like rviz's Path."""
+
+    def __init__(self, interactive: bool = False, save_every: int = 0,
+                 out_dir: Optional[str] = None, trail_len: int = 2000,
+                 stride: int = 1):
+        self.interactive = interactive
+        self.save_every = save_every
+        self.out_dir = out_dir
+        self.trail_len = trail_len
+        self.stride = max(1, stride)
+        self.frames: list = []          # retained LiveFrames (strided)
+        self._trail: list = []
+        self._n = 0
+        self._fig = None
+        self._ax = None
+        self._artists = None
+
+    # ------------------------------------------------------------------ #
+    def __call__(self, frame) -> None:
+        """The live_callback entry: consume one LiveFrame."""
+        self._n += 1
+        self._trail.append(np.asarray(frame.x[:3]))
+        if len(self._trail) > self.trail_len:
+            self._trail.pop(0)
+        if (self._n - 1) % self.stride == 0:
+            self.frames.append(frame)
+        if self.interactive or (self.save_every and self._n % self.save_every == 0):
+            self._render(frame)
+            if self.interactive:
+                plt.pause(1e-3)
+            if self.save_every and self._n % self.save_every == 0 and self.out_dir:
+                os.makedirs(self.out_dir, exist_ok=True)
+                self._fig.savefig(os.path.join(self.out_dir, f"live_{self._n:06d}.png"))
+
+    # ------------------------------------------------------------------ #
+    def _ensure_fig(self):
+        if self._fig is None:
+            self._fig = plt.figure(figsize=(7, 6))
+            self._ax = self._fig.add_subplot(111, projection="3d")
+        return self._fig, self._ax
+
+    def _render(self, frame):
+        fig, ax = self._ensure_fig()
+        ax.cla()
+        trail = np.asarray(self._trail)
+        ax.plot(trail[:, 0], trail[:, 1], trail[:, 2], "-", color="0.6",
+                lw=1.0, label="flown")
+        chunk = np.asarray(frame.x_ref_chunk)
+        ax.plot(chunk[:, 0], chunk[:, 1], chunk[:, 2], "g.-", lw=1.5,
+                label="reference chunk")
+        hor = np.asarray(frame.x_horizon)
+        ax.plot(hor[:, 0], hor[:, 1], hor[:, 2], "b.-", lw=1.5,
+                label="MPC horizon")
+        x = np.asarray(frame.x)
+        ax.scatter([x[0]], [x[1]], [x[2]], color="k", s=40)
+        tgt = np.asarray(frame.target)
+        ax.scatter([tgt[0]], [tgt[1]], [tgt[2]], color="r", marker="*", s=120,
+                   label="target")
+        ax.set_title(f"t = {frame.t:.2f} s")
+        ax.legend(loc="upper left", fontsize=8)
+        return fig
+
+    # ------------------------------------------------------------------ #
+    def save_frame(self, path: str, frame=None) -> str:
+        """Render one frame (default: the latest) to an image."""
+        frame = frame if frame is not None else self.frames[-1]
+        fig = self._render(frame)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        fig.savefig(path, bbox_inches="tight")
+        return path
+
+    def to_animation(self, path: str, fps: int = 20) -> str:
+        """Export the retained frames as an animation (gif/mp4 by suffix) —
+        the post-hoc twin of watching the rviz view live."""
+        from matplotlib import animation
+
+        if not self.frames:
+            raise ValueError("no frames retained")
+        fig, ax = self._ensure_fig()
+        trail_bak = list(self._trail)
+        # rebuild the trail progressively from the retained frames
+        pts = [np.asarray(f.x[:3]) for f in self.frames]
+
+        def draw(i):
+            self._trail = pts[: i + 1]
+            self._render(self.frames[i])
+            return []
+
+        anim = animation.FuncAnimation(fig, draw, frames=len(self.frames),
+                                       interval=1000 // fps, blit=False)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        writer = "pillow" if path.endswith(".gif") else None
+        anim.save(path, writer=writer, fps=fps)
+        self._trail = trail_bak
+        plt.close(fig)
+        self._fig = self._ax = None
+        return path

@@ -86,6 +86,34 @@ class ControlCommand:
     stamp: float = 0.0
 
 
+@dataclasses.dataclass
+class LiveFrame:
+    """Per-tick live-visualization payload — the data the reference streams
+    to rviz during flight (`mpc_controller_node.py:639-734`: reference-chunk
+    path, MPC-optimal path, target marker).  Delivered through
+    `ControllerNode(live_callback=...)`; render with `io.viz.LiveFlightView`
+    or any custom sink (websocket, file, ...)."""
+
+    t: float
+    x: np.ndarray                  # (13,) measured state
+    x_ref_chunk: np.ndarray        # (N, 13) current reference chunk
+    x_horizon: np.ndarray          # (N+1, 13) MPC-optimal state trajectory
+    target: np.ndarray             # (3,) trajectory endpoint marker
+
+
+@dataclasses.dataclass
+class PositionCommand:
+    """The Crazyswarm `cmdPosition` actuation path
+    (`/root/reference/src/cf_execute.py:250-254`): the vehicle's ONBOARD
+    position controller tracks the MPC's predicted next position + yaw
+    instead of receiving motor powers / body rates directly."""
+
+    pos: np.ndarray                # (3,) world position setpoint
+    yaw: float                     # [rad]
+    motors: np.ndarray             # (4,) the MPC's motor plan (logged, unused)
+    stamp: float = 0.0
+
+
 # --------------------------------------------------------------------------- #
 class TrajectoryServer:
     """Answers TrajectoryRequest with a sampled Trajectory
@@ -156,7 +184,13 @@ class ControllerNode:
         training_trajectories_count: int = 1,
         logger: Optional[Logger] = None,
         dtype=jnp.float32,
+        actuation: str = "motors",
+        live_callback: Optional[Callable] = None,
     ):
+        if actuation not in ("motors", "position"):
+            raise ValueError(f"unknown actuation mode {actuation!r}")
+        self.actuation = actuation
+        self.live_callback = live_callback
         self.p = quad_params
         self.server = trajectory_server
         self.publish_control = publish_control or (lambda cmd: None)
@@ -269,13 +303,32 @@ class ControllerNode:
             self.rgp_state = rgp_state
 
         u_np = np.asarray(u)
-        cmd = ControlCommand(
-            bodyrates=np.asarray(x_opt[1, 10:13]),
-            collective_thrust=float(u_np.sum() * float(self.p.max_thrust) / float(self.p.mass)),
-            motors=np.clip(u_np, 0.0, 1.0),
-            stamp=timestamp,
-        )
+        if self.actuation == "position":
+            # cmdPosition mode (`cf_execute.py:250-254`): publish the MPC's
+            # predicted next position + yaw for an external/onboard position
+            # controller to track
+            q1 = np.asarray(x_opt[1, 3:7])
+            yaw = float(np.arctan2(2 * (q1[0] * q1[3] + q1[1] * q1[2]),
+                                   1 - 2 * (q1[2] ** 2 + q1[3] ** 2)))
+            cmd = PositionCommand(pos=np.asarray(x_opt[1, :3]), yaw=yaw,
+                                  motors=np.clip(u_np, 0.0, 1.0),
+                                  stamp=timestamp)
+        else:
+            cmd = ControlCommand(
+                bodyrates=np.asarray(x_opt[1, 10:13]),
+                collective_thrust=float(u_np.sum() * float(self.p.max_thrust) / float(self.p.mass)),
+                motors=np.clip(u_np, 0.0, 1.0),
+                stamp=timestamp,
+            )
         self.publish_control(cmd)
+
+        if self.live_callback is not None:
+            # rviz-equivalent live stream (`mpc_controller_node.py:639-734`)
+            self.live_callback(LiveFrame(
+                t=timestamp, x=x, x_ref_chunk=np.asarray(x_ref),
+                x_horizon=np.asarray(x_opt),
+                target=self.x_trajectory[-1, :3].copy(),
+            ))
 
         self.idx_traj += 1
         x_pred_np = np.asarray(x_pred)
@@ -355,32 +408,126 @@ class SimpleZController:
         return mp
 
 
+def position_controller_motors(x, pos_cmd, yaw_cmd, p,
+                               kp=jnp.asarray((6.0, 6.0, 8.0)),
+                               kd=jnp.asarray((4.5, 4.5, 5.5)),
+                               k_rot=150.0, k_rate=24.0):
+    # gain separation: attitude loop (wn = sqrt(k_rot) ~ 12 rad/s, zeta ~ 1)
+    # must sit well above the position loop (wn = sqrt(kp) ~ 2.5 rad/s) —
+    # an underdamped/slow attitude loop limit-cycles the position cascade
+    """Geometric position controller: (state, position setpoint, yaw) ->
+    motor activations in [0, 1].  The stand-in for the Crazyflie ONBOARD
+    controller behind `cf.cmdPosition` (`cf_execute.py:250-254`) when the
+    cmdPosition actuation mode flies against the internal plant.
+
+    Standard Lee-style cascade: PD position -> desired world acceleration ->
+    desired body z / full attitude from the yaw setpoint -> rotation-error P
+    body-rate law -> torques via the diagonal inertia -> per-motor thrusts
+    through the inverse of the rotor mixing implied by the plant's geometry
+    (`models/dynamics.py:_f_core`: T = sum f, tx = f.y_f, ty = -f.x_f,
+    tz = f.z_l_tau).  Pure jnp, jit/vmap friendly.
+    """
+    from .utils.rotations import q_to_rot_mat
+
+    pos, q, vel, w = x[0:3], x[3:7], x[7:10], x[10:13]
+    dtype = x.dtype
+
+    a_des = kp.astype(dtype) * (pos_cmd - pos) - kd.astype(dtype) * vel
+    f_des = p.mass * (a_des + p.g)                  # desired world force (N)
+
+    R = q_to_rot_mat(q)
+    z_b = R[:, 2]
+    thrust = jnp.dot(f_des, z_b)                    # collective along body z
+
+    # desired attitude from f_des + yaw
+    z_des = f_des / jnp.maximum(jnp.linalg.norm(f_des), 1e-6)
+    x_c = jnp.stack([jnp.cos(yaw_cmd), jnp.sin(yaw_cmd), jnp.zeros_like(yaw_cmd)])
+    y_des = jnp.cross(z_des, x_c)
+    y_des = y_des / jnp.maximum(jnp.linalg.norm(y_des), 1e-6)
+    x_des = jnp.cross(y_des, z_des)
+    R_des = jnp.stack([x_des, y_des, z_des], axis=1)
+
+    # rotation error (vee of the skew part) -> body-rate P law -> torques
+    E = R_des.T @ R - R.T @ R_des
+    e_R = 0.5 * jnp.stack([E[2, 1], E[0, 2], E[1, 0]])
+    tau = p.J * (-k_rot * e_R - k_rate * w)
+
+    # inverse mixing: [T, tx, ty, tz] -> per-rotor thrusts -> activations
+    ones = jnp.ones_like(p.x_f)
+    A = jnp.stack([ones, p.y_f, -p.x_f, p.z_l_tau], axis=0)    # (4, 4)
+    wrench = jnp.stack([thrust, tau[0], tau[1], tau[2]])
+    f_rotors = jnp.linalg.solve(A, wrench)
+    return jnp.clip(f_rotors / p.max_thrust, 0.0, 1.0)
+
+
 class SimLoop:
     """Wire a ControllerNode to the internal plant at odometry rate —
     Gazebo-in-the-loop semantics without Gazebo (the reference's test seam,
-    SURVEY §4.6)."""
+    SURVEY §4.6).  In the node's `position` actuation mode the loop runs the
+    onboard-controller stand-in (`position_controller_motors`) between the
+    PositionCommand and the plant, mirroring how Crazyswarm's cmdPosition is
+    tracked by the vehicle's own cascade (`cf_execute.py:250-254`)."""
 
     def __init__(self, node: ControllerNode, plant_params, x0: np.ndarray,
-                 sim_substeps: int = 2):
+                 sim_substeps: int = 2, position_tracking: str = "kinematic"):
+        """position_tracking (PositionCommand actuation only):
+        'kinematic' — first-order tracker with the MPC node spacing as time
+        constant, velocity consistent by construction; the faithful double of
+        Crazyswarm's simulated `cmdPosition` (the reference's cf sim is
+        kinematic: it moves the vehicle to setpoints, `cf_execute.py:253-254`).
+        'dynamic' — run the onboard-controller stand-in
+        (`position_controller_motors`) against the full rigid-body plant."""
         self.node = node
         self.p = plant_params
         self.x = np.asarray(x0, dtype=float)
         self.sim_substeps = sim_substeps
+        self.position_tracking = position_tracking
         dt_sub = node.odometry_dt / sim_substeps
         self._plant = jax.jit(
             lambda x, u: plant_substeps(x, u, plant_params, dt_sub, sim_substeps)
         )
+        # cmdPosition tracking: onboard-controller stand-in + plant, fused
+        self._plant_pos = jax.jit(
+            lambda x, pc, yc: plant_substeps(
+                x, position_controller_motors(x, pc, yc, plant_params),
+                plant_params, dt_sub, sim_substeps)
+        )
+
+    def _track_kinematic(self, cmd: "PositionCommand") -> np.ndarray:
+        """Crazyswarm-sim-style tracking: close a fraction dt/dt_node of the
+        gap to the commanded (one-node-ahead) position per odometry tick, so
+        the vehicle paces the MPC's prediction horizon exactly; attitude is
+        level at the commanded yaw, velocity is the implied gap-closing rate."""
+        x = self.x.copy()
+        gap = np.asarray(cmd.pos) - x[:3]
+        dt_node = self.node.cfg.dt
+        frac = min(1.0, self.node.odometry_dt / dt_node)
+        x[:3] = x[:3] + frac * gap
+        x[3:7] = [np.cos(cmd.yaw / 2), 0.0, 0.0, np.sin(cmd.yaw / 2)]
+        x[7:10] = gap / dt_node
+        x[10:13] = 0.0
+        return x
 
     def run(self, max_ticks: int = 10000) -> np.ndarray:
         t = 0.0
+        dtype = self.node.dtype
         for k in range(max_ticks):
             cmd = self.node.pose_received_cb(self.x, timestamp=t)
             if self.node.finished:
                 break
-            if cmd is not None:
+            if isinstance(cmd, PositionCommand):
+                if self.position_tracking == "kinematic":
+                    self.x = self._track_kinematic(cmd)
+                else:
+                    self.x = np.asarray(
+                        self._plant_pos(jnp.asarray(self.x, dtype=dtype),
+                                        jnp.asarray(cmd.pos, dtype=dtype),
+                                        jnp.asarray(cmd.yaw, dtype=dtype))
+                    )
+            elif cmd is not None:
                 self.x = np.asarray(
-                    self._plant(jnp.asarray(self.x, dtype=self.node.dtype),
-                                jnp.asarray(cmd.motors, dtype=self.node.dtype))
+                    self._plant(jnp.asarray(self.x, dtype=dtype),
+                                jnp.asarray(cmd.motors, dtype=dtype))
                 )
             t += self.node.odometry_dt
         return self.x

@@ -18,6 +18,15 @@ otherwise).  Measured against the condensed IPM at full SQP convergence
 For bound-tight problems at small N use the condensed IPM path; this backend
 targets long-horizon planning sweeps where bounds are rarely slammed.
 
+Measured crossover (v5e-lite, B=256 vmapped `solve`, f32, warm chains;
+`bench.suite --what riccati_crossover`): in the generic vmapped-XLA path the
+Riccati backend is faster at EVERY horizon — 2.5x at the reference N=10
+(33 us vs 80 us per solve), 3.9x at N=20, 12.8x at N=40, 14.9x at N=160.
+The condensed path's production advantage at N=10 is its fused Pallas
+pipeline (`solve_batch`, ~1.8 us/solve at B=4096), which only exists for the
+condensed form; for horizons beyond the fused kernel's dims, Riccati is the
+right backend from N=10 up.
+
 Equations (standard time-varying LQR with affine terms):
     P_N = Q_N,  p_N = q_N
     K_k = (R + BᵀPB)^-1 Bᵀ(PA)

@@ -129,6 +129,113 @@ def test_training_counts_multiple_runs():
     assert node.finished
 
 
+def test_cmdposition_mode_flies_crazyflie_line():
+    """cf_execute parity (`/root/reference/src/cf_execute.py:250-254`): the
+    controller publishes the MPC's predicted next position + yaw as a
+    PositionCommand and the vehicle is actuated by its own (stand-in) onboard
+    position controller — flying the crazyflie preset through a short line."""
+    from mpc_quad_ros_tpu.models.params import crazyflie_params
+    from mpc_quad_ros_tpu.node import PositionCommand
+
+    p = crazyflie_params(dtype=DT)
+    server = TrajectoryServer(sample_dt=0.01)
+
+    class ShortLineServer(TrajectoryServer):
+        def handle(self, req):
+            return server.handle(TrajectoryRequest(
+                "line", np.array([0, 0, 3.0]), np.array([1.0, 0, 3.0]),
+                v_max=1.0, a_max=1.0))
+
+    published = []
+    node = ControllerNode(p, ShortLineServer(), dtype=DT, v_max=1.0, a_max=1.0,
+                          actuation="position",
+                          publish_control=published.append)
+    x_hover = np.array([0, 0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype=float)
+    loop = SimLoop(node, p, x_hover)          # kinematic tracking (cf-sim double)
+    x_final = loop.run(max_ticks=2000)
+
+    assert node.finished
+    assert all(isinstance(c, PositionCommand) for c in published)
+    # the published setpoint is the MPC's one-step-ahead position
+    assert published[0].pos.shape == (3,)
+    # the vehicle genuinely flew the line (not just ended inside the finish ball)
+    assert x_final[0] > 0.7, x_final
+    np.testing.assert_allclose(x_final[:3], [1.0, 0, 3.0], atol=0.3)
+
+
+def test_cmdposition_dynamic_tracking_climbs():
+    """The dynamic onboard-controller stand-in option: a pure climb (no tilt
+    bandwidth in the loop) tracks the MPC's predicted positions against the
+    full rigid-body plant."""
+    from mpc_quad_ros_tpu.models.params import crazyflie_params
+    from mpc_quad_ros_tpu.node import PositionCommand
+
+    p = crazyflie_params(dtype=DT)
+    server = TrajectoryServer(sample_dt=0.01)
+
+    class ClimbServer(TrajectoryServer):
+        def handle(self, req):
+            return server.handle(TrajectoryRequest(
+                "line", np.array([0, 0, 3.0]), np.array([0, 0, 3.8]),
+                v_max=1.0, a_max=1.0))
+
+    node = ControllerNode(p, ClimbServer(), dtype=DT, v_max=1.0, a_max=1.0,
+                          actuation="position")
+    x_hover = np.array([0, 0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype=float)
+    loop = SimLoop(node, p, x_hover, position_tracking="dynamic")
+    x_final = loop.run(max_ticks=2000)
+    assert x_final[2] > 3.5, x_final
+
+
+def test_position_controller_motors_hovers():
+    """The onboard-controller stand-in holds a hover setpoint: thrust ~ the
+    hover activation, torques ~ 0."""
+    from mpc_quad_ros_tpu.models.params import crazyflie_params
+    from mpc_quad_ros_tpu.node import position_controller_motors
+
+    p = crazyflie_params(dtype=DT)
+    x = jnp.asarray([0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype=DT)
+    u = np.asarray(position_controller_motors(
+        x, jnp.asarray([0.0, 0.0, 1.0], DT), jnp.asarray(0.0, DT), p))
+    np.testing.assert_allclose(u, float(p.hover_input), atol=1e-6)
+
+
+def test_live_viz_hook_streams_frames(tmp_path):
+    """The rviz-equivalent live hook (`mpc_controller_node.py:639-734`):
+    every control tick delivers a LiveFrame with the reference chunk, the
+    MPC-optimal horizon and the target marker; LiveFlightView renders them
+    to an image and an animation."""
+    from mpc_quad_ros_tpu.io.viz import LiveFlightView
+    from mpc_quad_ros_tpu.node import LiveFrame
+
+    view = LiveFlightView(stride=20)
+    p, node = make_node(trajectory_type="line", v_max=2.0, a_max=2.0,
+                        live_callback=view)
+    server = node.server
+
+    class ShortLineServer(TrajectoryServer):
+        def handle(self, req):
+            return server.handle(TrajectoryRequest(
+                "line", np.array([0, 0, 3.0]), np.array([2.0, 0, 3.0]),
+                v_max=2.0, a_max=2.0))
+
+    node.server = ShortLineServer()
+    x_hover = np.array([0, 0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0], dtype=float)
+    SimLoop(node, p, x_hover).run(max_ticks=2000)
+
+    assert node.finished and len(view.frames) > 5
+    f = view.frames[-1]
+    assert isinstance(f, LiveFrame)
+    assert f.x_ref_chunk.shape == (node.cfg.n_nodes, 13)
+    assert f.x_horizon.shape == (node.cfg.n_nodes + 1, 13)
+    assert f.target.shape == (3,)
+    png = view.save_frame(str(tmp_path / "live.png"))
+    assert (tmp_path / "live.png").exists()
+    view.frames = view.frames[:4]     # keep the animation cheap
+    view.to_animation(str(tmp_path / "live.gif"), fps=5)
+    assert (tmp_path / "live.gif").stat().st_size > 0
+
+
 def test_simple_z_controller_hygiene():
     """cf test-node parity: stale and undersampled odometry is dropped; the
     P-law pushes toward the target altitude."""

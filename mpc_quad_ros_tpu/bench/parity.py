@@ -19,6 +19,26 @@ Reconstruction notes (validated against `mpc_controller_node.py`):
 
 Measured result on traj2_v10_a10_gp0.pkl: mean |du| = 1.5e-3, median 9e-4 on
 the [0,1] input scale — the two solvers command essentially the same inputs.
+
+gp1 parity study (round-2, VERDICT weak #4 — "prove or fix"): replaying
+traj0_v12_a12_gp1.pkl three ways, f64, n_nodes=5, skip=20:
+
+    model used for the replay                 mean|du|  median   p95
+    ------------------------------------------------------------------
+    checked-in reference gp_models (mdl_*.gp)  1.00e-2  6.4e-3  3.0e-2
+    freshly fit by OUR train_gp on the
+      matching gp0 run (traj0_v12_a12_gp0)     7.1e-3   3.9e-3  2.4e-2
+    (context: gp0 replay of the same traj)     2.4e-3   1.4e-3  5.9e-3
+
+Drag-curve cross-check against the gp1 log's OWN empirical labels
+(v_body -> a_drag, label std [0.70, 0.65, 0.83] m/s^2): per-axis RMS
+residual of the checked-in GP = [0.36, 0.10, 0.82] vs the fresh fit's
+[0.08, 0.06, 0.83].  The checked-in x-axis model misfits the very data the
+recorded gp1 run flew by 4.4x more than a GP fit on the adjacent gp0 run —
+the checked-in files are NOT the models that produced the gp1 logs (they
+were retrained after).  The VINTAGE explanation stands, with the injection
+path exonerated: swapping only the model file moves |du| toward gp0 levels.
+Pinned by `tests/test_parity.py::test_gp1_vintage_explanation`.
 """
 
 from __future__ import annotations

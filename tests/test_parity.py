@@ -64,6 +64,49 @@ GP_MODELS = "/root/reference/outputs/gazebo_simulation/gp_models"
 def test_gp1_replay_with_reference_model_files():
     """gp1 mode: reference-trained GP model files load and drive the
     augmented MPC; parity is looser (the checked-in models postdate the
-    recorded runs) but must stay within a few percent."""
+    recorded runs — proven by test_gp1_vintage_explanation) but must stay
+    within a few percent."""
     r = replay_reference_log(GP1_LOGS[0], gp_path=GP_MODELS)
     assert r["du_mean"] < 0.03, r
+
+
+GP0_TWIN = "/root/reference/outputs/gazebo_simulation/data/traj0_v12_a12_gp0.pkl"
+
+
+@pytest.mark.skipif(not (GP1_LOGS and os.path.isdir(GP_MODELS)
+                         and os.path.exists(GP0_TWIN)), reason="no gp1 artifacts")
+def test_gp1_vintage_explanation(tmp_path):
+    """The gp1 parity gap is the MODEL FILES' vintage, not our injection
+    path (VERDICT weak #4, full numbers in `bench/parity.py`):
+
+    1. the checked-in x-axis GP misfits the gp1 log's OWN empirical drag
+       labels several times worse than a GP our `train_gp` fits on the
+       adjacent gp0 run — the files cannot be the models that flew the run;
+    2. swapping only the model file (same injection path) moves the control
+       parity toward gp0 levels — so the injection math is exonerated.
+    """
+    import jax.numpy as jnp
+
+    from mpc_quad_ros_tpu.models.dataloader import DataLoaderGP
+    from mpc_quad_ros_tpu.models.ensemble import GPEnsemble
+    from mpc_quad_ros_tpu.models.train import train_gp
+
+    gpe_fresh = train_gp(GP0_TWIN, str(tmp_path), n_training_samples=10, plot=False)
+    gpe_ref = GPEnsemble.fromdir(GP_MODELS, "GP")
+
+    # (1) drag-curve agreement with the gp1 log's own labels
+    dl = DataLoaderGP(GP1_LOGS[0], 10)
+    Xq = jnp.asarray(dl.X.T)[:, :, None]
+    y_emp = dl.y.T
+    rms = {}
+    for name, gpe in (("ref", gpe_ref), ("fresh", gpe_fresh)):
+        mu = np.asarray(gpe.predict(Xq)).reshape(3, -1)
+        rms[name] = np.sqrt(np.mean((mu - y_emp) ** 2, axis=1))
+    # x-axis: checked-in misfit is >2x the fresh fit's (measured: 4.4x)
+    assert rms["ref"][0] > 2.0 * rms["fresh"][0], rms
+
+    # (2) same replay, swapped model file only -> parity improves
+    r_ref = replay_reference_log(GP1_LOGS[0], gp_path=GP_MODELS)
+    r_fresh = replay_reference_log(GP1_LOGS[0], gp_path=str(tmp_path))
+    assert r_fresh["du_mean"] < r_ref["du_mean"], (r_fresh, r_ref)
+    assert r_fresh["du_mean"] < 0.01, r_fresh

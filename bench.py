@@ -65,7 +65,10 @@ def main():
     from mpc_quad_ros_tpu.ops.sqp import SolverCarry, init_carry
 
     dtype = jnp.float32
-    B = int(os.environ.get("BENCH_BATCH", 4096))
+    # B=16384 measured ~1.3x the B=4096 throughput on v5e-lite (the fused
+    # kernel's grid amortizes per-dispatch overheads; HBM footprint is still
+    # only tens of MB since condensing lives in VMEM scratch)
+    B = int(os.environ.get("BENCH_BATCH", 16384))
     iters = int(os.environ.get("BENCH_ITERS", 20))
 
     p = hummingbird_params(dtype=dtype)

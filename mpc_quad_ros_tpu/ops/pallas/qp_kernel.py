@@ -89,7 +89,7 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
     sl = z - lb
     su = ub - z
 
-    PANEL = 4                      # nu: panel width for the blocked Cholesky
+    PANEL = 8                      # panel width for the blocked Cholesky
     n_panels = (nz + PANEL - 1) // PANEL
 
     def ipm_iter(_, carry):

@@ -179,7 +179,7 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     sl = z - lb
     su = ub - z
 
-    PANEL = 4
+    PANEL = 8
     n_panels = (nz + PANEL - 1) // PANEL
 
     def ipm_iter(_, carry):

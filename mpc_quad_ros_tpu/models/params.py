@@ -160,11 +160,14 @@ def randomize_params(base: QuadParams, key, n: int, drag_scale_range=(0.5, 2.0),
 
     k1, k2, k3 = jax.random.split(key, 3)
     tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (n,) + jnp.shape(jnp.asarray(a)))
+    # draw scales in the BASE dtype — jax.random's default is f64 under x64,
+    # which would silently promote every downstream rollout carry
+    sdtype = jnp.asarray(base.mass).dtype
     lo, hi = drag_scale_range
-    drag_s = jax.random.uniform(k1, (n,), minval=lo, maxval=hi)
-    rotor_s = jax.random.uniform(k2, (n,), minval=lo, maxval=hi)
+    drag_s = jax.random.uniform(k1, (n,), minval=lo, maxval=hi, dtype=sdtype)
+    rotor_s = jax.random.uniform(k2, (n,), minval=lo, maxval=hi, dtype=sdtype)
     mlo, mhi = mass_scale_range
-    mass_s = jax.random.uniform(k3, (n,), minval=mlo, maxval=mhi)
+    mass_s = jax.random.uniform(k3, (n,), minval=mlo, maxval=mhi, dtype=sdtype)
     return QuadParams(
         mass=tile(base.mass) * mass_s,
         J=tile(base.J),

@@ -223,24 +223,34 @@ def solve_box_qp_pdip_pallas_tiled(Ht: jnp.ndarray, gt: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret",
-                                             "return_duals"))
+                                             "return_duals", "symmetrize"))
 def solve_box_qp_pdip_pallas(H: jnp.ndarray, g: jnp.ndarray, lb: jnp.ndarray,
                              ub: jnp.ndarray, iters: int = 12,
                              interpret: bool = False,
                              zl0: jnp.ndarray | None = None,
                              zu0: jnp.ndarray | None = None,
-                             return_duals: bool = False):
+                             return_duals: bool = False,
+                             symmetrize: bool = True):
     """Batched box-QP solve.  H: (B, nz, nz), g: (B, nz), bounds (nz,) or
     (B, nz).  B is padded internally to a multiple of 128.  zl0/zu0 (B, nz)
-    warm-start the IPM duals.  Returns (B, nz) z, or (z, zl, zu)."""
+    warm-start the IPM duals.  Returns (B, nz) z, or (z, zl, zu).
+
+    symmetrize: the masked Cholesky consumes full columns of H, so by default
+    exact symmetry is enforced (f32 MXU/einsum-assembled Hessians are
+    asymmetric at ~1e-3 relative).  Pass False when H is already symmetric to
+    the last ulp (e.g. the condense kernel's outer-product accumulation):
+    0.5*(H+Hᵀ) then only flips last-ulp bits, but on ill-conditioned
+    instances the fixed-iteration IPM amplifies those flips to its full
+    convergence slack (~1e-2 in z at 12 iters, measured in
+    tests/test_pipeline_equivalence.py), so skipping keeps this entry
+    bitwise-identical to the tiled/fused pipelines fed the same H."""
     B, nz, _ = H.shape
     dtype = H.dtype
     warm = zl0 is not None
 
-    # The masked Cholesky consumes full columns of H, so enforce exact
-    # symmetry (f32 MXU-assembled Hessians are asymmetric at ~1e-3 relative);
     # Jacobi scaling happens inside the kernel.
-    H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
+    if symmetrize:
+        H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
     lb = jnp.broadcast_to(lb, (B, nz)).astype(dtype)
     ub = jnp.broadcast_to(ub, (B, nz)).astype(dtype)
 

@@ -21,10 +21,12 @@ The per-stage model augmentation (the folded RGP drag) is per-SCENARIO here,
 so the host never broadcasts it across the N stages (the split pipeline
 materialized (3, nb, N*B) columns).
 
-Numerics are identical to the split pipeline by construction: same formulas,
-same statically-unrolled panel Cholesky, same iteration counts.  Oracles in
-tests: the vmapped single-scenario `SQPSolver.solve` and the split tiled
-pipeline itself.
+Numerics are identical to the split pipeline by construction — same
+formulas, same statically-unrolled panel Cholesky, same iteration counts —
+and CHECKED, not just claimed: `tests/test_pipeline_equivalence.py` pins
+fused == split bitwise and the small-batch SoA path to one f32 ulp at
+matched iteration counts (B=256, RGP aug, 12 IPM iters), plus the shared
+distance-to-oracle convergence slack.
 
 Reference parity notes: this implements one acados SQP_RTI iteration
 (`/root/reference/src/quad_opt.py:147-151` solver options; LINEAR_LS cost

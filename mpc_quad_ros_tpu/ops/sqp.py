@@ -293,12 +293,17 @@ class SQPSolver:
 
     # ------------------------------------------------------------------ #
     def _gn_step_riccati(self, X, U, x0, y_ref, y_ref_N, aug):
-        """Gauss-Newton step via the sparse Riccati recursion
-        (`ops/riccati.py`) — O(N) per iteration, for long horizons where
-        condensing's dense N*nu QP gets expensive.  Box bounds are enforced
-        by clamping the feedforward (projected LQR): exact when no bound is
-        active, approximate otherwise."""
-        from .riccati import riccati_step
+        """Gauss-Newton step via the sparse Riccati-factorized interior
+        point (`ops/riccati.solve_ocp_box_riccati_ipm`) — O(N) per IPM
+        iteration, for long horizons where condensing's dense N*nu QP gets
+        expensive.  Box bounds are handled EXACTLY (each IPM Newton system
+        is solved by a Riccati sweep with barrier-modified per-stage R_k —
+        the same structure HPIPM exploits inside acados,
+        `/root/reference/src/quad_opt.py:147-151`); the historical
+        feedforward-clamping approximation and its +36% stall on saturated
+        instances are gone (`tests/test_riccati.py` pins bound-active N=40
+        agreement with the condensed IPM)."""
+        from .riccati import solve_ocp_box_riccati_ipm
 
         cfg = self.cfg
         N = cfg.n_nodes
@@ -318,9 +323,9 @@ class SQPSolver:
         r_lin = rw[None, :] * (U - cfg.u_ref)
         p_term = p_term_diag * (X[N] - y_ref_N)
 
-        dU, dX = riccati_step(
+        dU, dX, _, _ = solve_ocp_box_riccati_ipm(
             A, B, r, q, q_lin, rw, r_lin, p_term_diag, p_term, dx0=dx0,
-            u_lb=cfg.u_lb - U, u_ub=cfg.u_ub - U,
+            u_lb=cfg.u_lb - U, u_ub=cfg.u_ub - U, iters=cfg.qp_iters,
         )
 
         # Globalization: on long horizons a full Newton step from a stale
@@ -681,13 +686,19 @@ class SQPSolver:
                 H, g, lb, ub, M, d = _jax.vmap(self._assemble)(X, U, x0, y_ref, y_ref_N, aug)
 
             interpret = _jax.default_backend() != "tpu"
+            # H is symmetric already on both routes here: `_assemble` applies
+            # 0.5*(H+Hᵀ) itself and the SoA condense kernel accumulates
+            # symmetric outer products — skip the wrapper's re-symmetrization
+            # so this path stays bitwise-identical to the tiled/fused
+            # pipelines (see tests/test_pipeline_equivalence.py).
             if warm:
                 z, zl, zu = solve_box_qp_pdip_pallas(
                     H, g, lb, ub, iters=cfg.qp_iters, interpret=interpret,
-                    zl0=zl, zu0=zu, return_duals=True)
+                    zl0=zl, zu0=zu, return_duals=True, symmetrize=False)
             else:
                 z = solve_box_qp_pdip_pallas(H, g, lb, ub, iters=cfg.qp_iters,
-                                             interpret=interpret)
+                                             interpret=interpret,
+                                             symmetrize=False)
             kkt = _jax.vmap(qp_kkt_residual)(H, g, lb, ub, z)
             U_new = U + z.reshape(Bsz, N, nu)
             X_new = X + d + jnp.einsum("bkxz,bz->bkx", M, z)

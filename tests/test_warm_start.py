@@ -90,16 +90,48 @@ def test_steady_chain_warm6_matches_cold12():
 
 def test_duals_round_trip_batched_paths():
     """solve_batch: both the fused Pallas pipeline (B=128) and the
-    per-scenario small-batch path (B=8) must thread the duals and agree with
-    the cold solution at converged iteration counts."""
+    per-scenario small-batch path (B=8) must thread the duals, and the warm
+    and cold solutions must EACH sit within the f32 IPM convergence slack of
+    the f64 converged optimum of the same QP.
+
+    Why not warm == cold element-wise (the round-2 red assert): with
+    sqp_iters=1 both paths solve the identical QP subproblem, and both reach
+    the same KKT floor (~2e-4 at 12 iterations) — but these condensed
+    Hessians have kappa ~ 1e6, so a KKT residual of 1e-4 still permits
+    ~3e-3 of primal slack around the optimum.  Two equally-converged
+    iterates from different starting points legitimately differ by up to
+    twice that (measured: warm-cold 5.4e-3 while warm is the CLOSER one to
+    the oracle — 2.9e-3 vs cold's 3.3e-3).  The honest assert is
+    each-vs-oracle plus a KKT bound; see tests/test_pipeline_equivalence.py
+    for the same slack pinned across pipelines."""
+    from mpc_quad_ros_tpu.ops.qp import solve_box_qp_pdip
+    from mpc_quad_ros_tpu.ops.sqp import _fold_aug
+
     for B in (8, 128):
         cfg, solver, carry, x0, y_ref, rgp = _setup(True, 12, B=B)
         c2, sol = solver.solve_batch(carry, x0, y_ref, y_ref[:, -1], rgp)
         assert c2.zl.shape == (B, cfg.n_nodes * 4)
         cfgc, solverc, carryc, *_ = _setup(False, 12, B=B)
         _, solc = solverc.solve_batch(carryc, x0, y_ref, y_ref[:, -1], rgp)
-        np.testing.assert_allclose(np.asarray(sol.U), np.asarray(solc.U),
-                                   atol=5e-3)
+
+        # f64 oracle of the shared QP subproblem (the H/g assembly is
+        # bitwise-identical across the batched pipelines — measured in
+        # test_pipeline_equivalence)
+        aug = _fold_aug(rgp)
+        H, g, lb, ub, _, _ = solver._assemble_batch_soa(
+            carry.X, carry.U, x0, y_ref, y_ref[:, -1], aug)
+        f64 = jnp.float64
+        z_star = jax.vmap(
+            lambda H, g, l, u: solve_box_qp_pdip(H, g, l, u, iters=60)
+        )(H.astype(f64), g.astype(f64), lb.astype(f64), ub.astype(f64))
+        U_star = np.asarray(carry.U, np.float64) + np.asarray(
+            z_star.reshape(B, cfg.n_nodes, 4))
+
+        for name, s in (("warm", sol), ("cold", solc)):
+            err = np.abs(np.asarray(s.U, np.float64) - U_star).max()
+            assert err < 1e-2, (B, name, err)   # measured ~3e-3, see docstring
+            kkt = float(np.max(np.asarray(s.kkt_residual)))
+            assert kkt < 5e-4, (B, name, kkt)   # measured ~2e-4
 
 
 def test_split_pipeline_duals():

@@ -257,12 +257,45 @@ def scaling(n_devices: int, episodes_per_device: int = 8, ticks: int = 10) -> li
     return results
 
 
+def scaling_multiprocess(nproc: int = 2, devices_per_process: int = 4,
+                         batch_per_device: int = 128, qp_iters: int = 12,
+                         repeats: int = 5) -> dict:
+    """Multi-PROCESS weak-scaling harness (BASELINE config 5): spawns
+    1..nproc local processes (each with `devices_per_process` virtual CPU
+    devices), runs the fused solve_batch over the process-spanning global
+    mesh, and reports throughput + scaling efficiency.  On this CPU host the
+    processes share physical cores, so the efficiency NUMBER is meaningless
+    (same caveat as `scaling`) — what this harness proves is that the
+    multi-process code path runs and reduces correctly; point the same
+    worker at N real hosts for the ≥85% target measurement."""
+    from ..parallel.launch import launch_workers
+
+    rows = []
+    base = None
+    for np_ in range(1, nproc + 1):
+        gb = batch_per_device * devices_per_process * np_
+        res = launch_workers(nproc=np_, devices_per_process=devices_per_process,
+                             global_batch=gb, qp_iters=qp_iters,
+                             repeats=repeats)
+        rate = float(res[0]["solves_per_sec"])
+        if base is None:
+            base = rate
+        rows.append({"processes": np_, "global_batch": gb,
+                     "solves_per_s": rate,
+                     "weak_scaling_efficiency": rate / (base * np_)})
+    return {"metric": "multi-process weak scaling (CPU correctness harness)",
+            "rows": rows,
+            "note": "efficiency meaningless on shared-core CPU; harness "
+                    "ready for real multi-host hardware"}
+
+
 def main(argv=None):
     import os
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", choices=("latency", "throughput", "closed_loop",
-                                       "scaling", "riccati_crossover"),
+                                       "scaling", "riccati_crossover",
+                                       "scaling_multiprocess", "phases"),
                     default="latency")
     ap.add_argument("--devices", type=int, default=None,
                     help="mesh size for --what scaling (default: all devices)")
@@ -281,7 +314,11 @@ def main(argv=None):
     fn = {"latency": latency, "throughput": throughput,
           "closed_loop": closed_loop,
           "riccati_crossover": riccati_crossover,
-          "scaling": lambda: scaling(args.devices)}[args.what]
+          "scaling": lambda: scaling(args.devices),
+          "scaling_multiprocess": scaling_multiprocess,
+          "phases": lambda: __import__(
+              "mpc_quad_ros_tpu.bench.phases", fromlist=["phase_table"]
+          ).phase_table()}[args.what]
     res = fn()
     print(json.dumps(res, indent=2))
     return 0

@@ -137,6 +137,22 @@ def main():
     p50 = lat[len(lat) // 2]
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
 
+    # --- BASELINE config 4: closed-loop learning at scale — B parallel ---
+    # --- episodes with per-episode RGP state, fused update/predict/tick ---
+    closed = {}
+    if os.environ.get("BENCH_SKIP_CLOSED") != "1":
+        from mpc_quad_ros_tpu.bench.suite import closed_loop
+
+        cb = int(os.environ.get("BENCH_CLOSED_B", 8192))
+        cl = closed_loop(B=cb, v=8.0, t_max=10.0)
+        closed = {
+            "closed_loop_tick_solves_per_s": round(cl["tick_solves_per_s"], 1),
+            "closed_loop_episodes": cl["episodes"],
+            "closed_loop_ticks": cl["ticks"],
+            "closed_loop_err_mean_m": round(cl["err_mean_m"], 4),
+            "closed_loop_err_p95_m": round(cl["err_p95_m"], 4),
+        }
+
     # --- roofline: analytic FLOPs/solve -> effective TFLOP/s and MFU ---
     fps = flops_per_solve(N=cfg.n_nodes, nb=10, qp_iters=cfg.qp_iters)
     eff_flops = solves_per_s * fps
@@ -156,6 +172,7 @@ def main():
                 "effective_tflops": round(eff_flops / 1e12, 4),
                 "mfu_vs_f32_peak": (round(eff_flops / peak, 5) if peak else None),
                 "device_kind": kind,
+                **closed,
             }
         )
     )

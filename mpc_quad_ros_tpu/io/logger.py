@@ -52,9 +52,19 @@ class Logger:
     # ------------------------------------------------------------------ #
     @classmethod
     def from_episode(cls, outs, t_odom=None, filepath: Optional[str] = None,
-                     solve_time_s: Optional[float] = None) -> "Logger":
+                     solve_time_s: Optional[float] = None,
+                     t_cpu_kind: str = "amortized_episode_wall") -> "Logger":
         """Build a reference-keyed log from an `EpisodeOutput` pytree
-        (keys per `execute_trajectory.py:270-273`)."""
+        (keys per `execute_trajectory.py:270-273`).
+
+        t_cpu semantics: the reference logs TRUE per-tick solver time
+        (`quad_opt.py:350`); a fused-scan episode has no per-tick host
+        timestamps, so `solve_time_s / T` is an amortised CONSTANT.  The
+        `t_cpu_kind` key says which it is so consumers (the Visualiser's
+        solve-time panel) never render fake per-tick variance:
+        "amortized_episode_wall" (this path), "per_tick_host_wall" (the
+        node/SimLoop path, real per-tick times), or
+        "chained_device_latency" (a bench-measured device number)."""
         lg = cls(filepath)
         T = np.asarray(outs.x_odom).shape[0]
         d = {
@@ -68,9 +78,8 @@ class Logger:
         if t_odom is not None:
             d["t_odom"] = list(np.asarray(t_odom))
         if solve_time_s is not None:
-            # amortised per-tick wall time of the jitted episode — the t_cpu
-            # analogue (`quad_opt.py:350`)
             d["t_cpu"] = [solve_time_s / T] * T
+            d["t_cpu_kind"] = t_cpu_kind
         if outs.rgp_mu_g_t is not None:
             mu = np.asarray(outs.rgp_mu_g_t)
             d["rgp_mu_g_t"] = [list(mu[k]) for k in range(T)]

@@ -68,54 +68,138 @@ class Visualiser:
 
     # ------------------------------------------------------------------ #
     def plot_data(self, save_path: Optional[str] = None, show: bool = False):
-        """The tracking report: position/velocity tracking, attitude, body
-        rates, control, pos error, solution cost, solve time."""
+        """The 12-panel tracking report — figure-level parity with the
+        reference's `Visualiser.plot_data` (`Visualiser.py:791-1003`), same
+        3x4 layout: position / orientation / velocity / angular velocity
+        (each vs reference), per-axis position-, quaternion-, velocity- and
+        rate-error panels with RMS totals in the titles, the
+        velocity-vs-error covariance heatmap, error-vs-velocity scatter,
+        control input, MPC solve time (variance-honest — see t_cpu_kind) and
+        solution cost.  The reference overlays its rate-error plot onto the
+        heatmap axis (`Visualiser.py:946-959` reuses ax[7]); here they get
+        separate panels."""
         d = self.d
         x, ref, u = d["x_odom"], d["x_ref"], d["w_odom"]
         t = d.get("t_odom")
         t = np.asarray(t) if t is not None else np.arange(x.shape[0])
         rms = self.rms_errors()
 
-        fig, axes = plt.subplots(3, 3, figsize=(16, 10), dpi=100)
-        fig.suptitle(
-            f"RMS pos {rms['rms_pos_mm']:.0f} mm | RMS vel {rms['rms_vel_mm_s']:.0f} mm/s"
-        )
+        e_pos = x[:, 0:3] - ref[:, 0:3]
+        e_quat = x[:, 3:7] - ref[:, 3:7]
+        e_vel = x[:, 7:10] - ref[:, 7:10]
+        e_rate = x[:, 10:13] - ref[:, 10:13]
+        _rms1 = lambda e: np.sqrt(np.mean(e**2, axis=1))
+        rms_pos, rms_quat = _rms1(e_pos), _rms1(e_quat)
+        rms_vel, rms_rate = _rms1(e_vel), _rms1(e_rate)
+        v_norm = np.linalg.norm(x[:, 7:10], axis=1)
+        v_ref_norm = np.linalg.norm(ref[:, 7:10], axis=1)
 
+        fig, axes = plt.subplots(3, 4, figsize=(22, 12), dpi=100)
         labels = ["x", "y", "z"]
-        for ax_i in range(3):
-            axes[0, 0].plot(t, x[:, ax_i], label=f"p{labels[ax_i]}")
-            axes[0, 0].plot(t, ref[:, ax_i], "--", lw=0.8)
-            axes[0, 1].plot(t, x[:, 7 + ax_i], label=f"v{labels[ax_i]}")
-            axes[0, 1].plot(t, ref[:, 7 + ax_i], "--", lw=0.8)
-            axes[1, 1].plot(t, x[:, 10 + ax_i], label=f"w{labels[ax_i]}")
-            axes[1, 2].plot(t, x[:, ax_i] - ref[:, ax_i], label=f"e{labels[ax_i]}")
-        axes[0, 0].set_title("position vs reference [m]")
-        axes[0, 1].set_title("velocity vs reference [m/s]")
-        axes[1, 1].set_title("body rates [rad/s]")
-        axes[1, 2].set_title("position error [m]")
+
+        # (0,*): tracked states vs reference (`Visualiser.py:868-911`)
+        for i in range(3):
+            axes[0, 0].plot(t, x[:, i], label=labels[i], color=f"C{i}")
+            axes[0, 0].plot(t, ref[:, i], "--", lw=0.8, color=f"C{i}")
+            axes[0, 2].plot(t, x[:, 7 + i], label=f"v{labels[i]}", color=f"C{i}")
+            axes[0, 2].plot(t, ref[:, 7 + i], "--", lw=0.8, color=f"C{i}")
+            axes[0, 3].plot(t, x[:, 10 + i], label=f"w{labels[i]}", color=f"C{i}")
+            axes[0, 3].plot(t, ref[:, 10 + i], "--", lw=0.8, color=f"C{i}")
+        axes[0, 0].set_title("Position [m]")
         for q_i, lab in enumerate(["qw", "qx", "qy", "qz"]):
-            axes[1, 0].plot(t, x[:, 3 + q_i], label=lab)
-        axes[1, 0].set_title("attitude quaternion")
+            axes[0, 1].plot(t, x[:, 3 + q_i], label=lab, color=f"C{q_i}")
+            axes[0, 1].plot(t, ref[:, 3 + q_i], "--", lw=0.8, color=f"C{q_i}")
+        axes[0, 1].set_title("Orientation")
+        axes[0, 2].plot(t, v_norm, label="|v|", color="C3")
+        axes[0, 2].plot(t, v_ref_norm, "--", lw=0.8, color="C3")
+        axes[0, 2].set_title("Velocity [m/s]")
+        axes[0, 3].set_title("Angular velocity [rad/s]")
+
+        # (1,*): error panels with RMS totals (`Visualiser.py:913-959`)
+        for i in range(3):
+            axes[1, 0].plot(t, e_pos[:, i], label=f"e_{labels[i]}", color=f"C{i}")
+            axes[1, 2].plot(t, e_vel[:, i], label=f"e_v{labels[i]}", color=f"C{i}")
+            axes[1, 3].plot(t, e_rate[:, i], label=f"e_w{labels[i]}", color=f"C{i}")
+        # title totals use the REFERENCE's convention (mean over axes, then
+        # RMS over time — `Visualiser.py:788-789,918,934`), which is sqrt(3)
+        # smaller than the sum-over-axes metric `rms_errors()` reports
+        total_pos_mm = float(np.sqrt(np.mean(rms_pos**2))) * 1e3
+        total_vel_mms = float(np.sqrt(np.mean(rms_vel**2))) * 1e3
+        axes[1, 0].plot(t, rms_pos, label="rms", color="C3")
+        axes[1, 0].set_title(f"RMS position error, total {total_pos_mm:.2f} mm")
+        axes[1, 1].plot(t, rms_quat, label="rms", color="C0")
+        axes[1, 1].set_title("RMS quaternion error")
+        axes[1, 2].plot(t, rms_vel, label="rms", color="C3")
+        axes[1, 2].set_title(
+            f"RMS velocity error, total {total_vel_mms:.2f} mm/s")
+        axes[1, 3].plot(t, rms_rate, label="rms", color="C3")
+        axes[1, 3].set_title("RMS angular velocity error")
+
+        # (2,0): covariance heatmap of velocity vs position error — the
+        # reference's 8x8 df.cov() lower triangle (`Visualiser.py:931-950`)
+        feats = np.stack([x[:, 7], x[:, 8], x[:, 9], v_norm,
+                          e_pos[:, 0], e_pos[:, 1], e_pos[:, 2], rms_pos])
+        cov = np.cov(feats)
+        # strict-upper triangle, like the reference's mask=triu(cov).T
+        cov_masked = np.where(np.triu(np.ones_like(cov), k=1) > 0, cov, np.nan)
+        names = ["v_x", "v_y", "v_z", "v_norm", "e_x", "e_y", "e_z", "rms_pos"]
+        im = axes[2, 0].imshow(cov_masked, cmap="coolwarm")
+        axes[2, 0].set_xticks(range(8), names, rotation=45, fontsize=6)
+        axes[2, 0].set_yticks(range(8), names, fontsize=6)
+        fig.colorbar(im, ax=axes[2, 0], fraction=0.046)
+        axes[2, 0].set_title("Covariance matrix")
+        axes[2, 0].grid(False)
+
+        # (2,1): per-axis error vs per-axis velocity, covariance in the
+        # legend (`Visualiser.py:963-971`)
+        for i in range(3):
+            c = float(np.cov(np.stack([x[:, 7 + i], e_pos[:, i]]))[0, 1])
+            axes[2, 1].scatter(x[:, 7 + i], e_pos[:, i], s=3, alpha=0.5,
+                               color=f"C{i}", label=f"{labels[i]}: {c:.4f}")
+        axes[2, 1].scatter(v_norm, rms_pos, s=3, alpha=0.5, color="C3",
+                           label="rms vs |v|")
+        axes[2, 1].set_xlabel("velocity [m/s]")
+        axes[2, 1].set_title("Position error vs velocity")
+
+        # (2,2): control input (`Visualiser.py:973-978`)
         for u_i in range(4):
-            axes[2, 0].plot(t, u[:, u_i], label=f"u{u_i}")
-        axes[2, 0].set_ylim(-0.05, 1.05)
-        axes[2, 0].set_title("motor activations")
+            axes[2, 2].plot(t, u[:, u_i], label=f"u{u_i + 1}", color=f"C{u_i}")
+        axes[2, 2].set_ylim(-0.05, 1.05)
+        axes[2, 2].set_title("Control input")
+
+        # (2,3): split between solve time and cost (`Visualiser.py:980-991`);
+        # solve time only when honest per-tick or clearly-labeled constant
         if "cost_solution" in d:
-            axes[2, 1].plot(t, d["cost_solution"])
-            axes[2, 1].set_title("MPC solution cost")
-            axes[2, 1].set_yscale("log")
+            axes[2, 3].plot(t, d["cost_solution"], color="C0")
+            axes[2, 3].set_title("Solution cost")
+            axes[2, 3].set_yscale("log")
         if "t_cpu" in d:
             tc = np.asarray(d["t_cpu"]) * 1e3
-            axes[2, 2].plot(t, tc)
-            axes[2, 2].set_title(f"solve time [ms] avg {np.mean(tc):.3f}")
-        # XY track
-        axes[0, 2].plot(x[:, 0], x[:, 1], label="flown")
-        axes[0, 2].plot(ref[:, 0], ref[:, 1], "--", label="reference")
-        axes[0, 2].set_title("XY track [m]")
-        axes[0, 2].set_aspect("equal", adjustable="datalim")
+            kind = d.get("t_cpu_kind")
+            if kind is not None:
+                flat = np.asarray(kind).ravel()
+                kind = str(flat[0]) if flat.size else None
+            ax2 = axes[2, 3].twinx()
+            if kind in ("amortized_episode_wall", "chained_device_latency"):
+                # one measured number, NOT per-tick samples — render the
+                # level only, no fake variance (reference logs and the node
+                # path carry true per-tick times and take the else branch)
+                ax2.axhline(float(np.mean(tc)), color="C1", lw=0.8)
+                label = ("amortized episode wall/tick"
+                         if kind == "amortized_episode_wall"
+                         else "chained device latency")
+                ax2.set_ylabel(f"solve {np.mean(tc):.3f} ms ({label})",
+                               fontsize=6)
+            else:
+                ax2.plot(t, tc, color="C1", lw=0.6)
+                ax2.set_ylabel(
+                    f"solve [ms] avg {np.mean(tc):.3f} std {np.std(tc):.3f}",
+                    fontsize=6)
+
         for ax in axes.ravel():
-            ax.grid(True, alpha=0.3)
-            ax.legend(fontsize=6, loc="upper right")
+            if ax is not axes[2, 0]:
+                ax.grid(True, alpha=0.3)
+                ax.legend(fontsize=6, loc="upper right")
         fig.tight_layout()
         return _finish(fig, save_path, show)
 

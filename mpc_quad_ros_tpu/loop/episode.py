@@ -83,6 +83,10 @@ class EpisodeOutput(NamedTuple):
     rgp_basis_vectors: Optional[jnp.ndarray] = None  # (T, 3, nb) | None
     rgp_C_g_t: Optional[jnp.ndarray] = None          # (T, 3, nb, nb) | None
     rgp_theta: Optional[jnp.ndarray] = None          # (T, 3, 3) | None
+    # heterogeneous batches only (`run_episode_batch_fused(episode_ticks=)`):
+    # per-tick liveness mask — False rows are frozen episodes whose outputs
+    # must be ignored by metrics (see `loop.batch.tracking_rmse_masked`)
+    active: Optional[jnp.ndarray] = None             # (T,) bool | None
 
 
 def run_episode(

@@ -44,16 +44,27 @@ def flops_per_solve(N=10, nx=13, nu=4, nt=17, nb=10, qp_iters=12,
     return lin + condense + qp + expand
 
 
-# peak f32 vector+matrix throughput per chip, for the MFU denominator
-# (the workload is lane-parallel VPU work + small MXU contractions, so f32
-# peak is the honest reference point, not the bf16 MXU number)
-PEAK_F32_FLOPS = {
-    # device_kind (jax.devices()[0].device_kind) -> peak f32 FLOP/s
-    "TPU v4": 137.5e12 / 2,      # bf16 275 TF/s, f32 half
-    "TPU v5e": 196.6e12 / 2 / 2,  # v5e 394 TF/s bf16 per chip / 2 cores? use 49 TF/s f32
-    "TPU v5 lite": 49.0e12,
-    "TPU v5p": 229.5e12,
-    "TPU v6e": 91.5e12,
+# Sourced per-chip peaks (Google Cloud TPU public specs, per chip):
+#   v4:  275 TFLOP/s bf16      v5e: 197 TFLOP/s bf16 (394 TOPS int8)
+#   v5p: 459 TFLOP/s bf16      v6e (Trillium): 918 TFLOP/s bf16
+# These are MXU numbers and assume 128x128 bf16 contractions; this workload
+# is f32 VPU lane-sweeps with no MXU-shaped matmuls, so bf16-MFU is context
+# only.  The honest denominator is the MEASURED sustained f32 VPU rate for
+# the kernel's op-shape class (multi-vreg ops streaming through VMEM),
+# measured by mpc_quad_ros_tpu/bench/phases.py::vpu_peak on this chip —
+# see outputs/roofline/ for the measurement and methodology.
+PEAK_BF16_FLOPS = {
+    # device_kind (jax.devices()[0].device_kind) -> peak bf16 FLOP/s
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e reports device_kind "TPU v5 lite"
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+}
+# measured sustained f32 VPU FLOP/s at the fused kernel's op shapes
+# ((256,128)-block FMA chains, slope-timed; phases.py) — per device kind
+VPU_SUSTAINED_F32_MEASURED = {
+    "TPU v5 lite": 2.15e12,
 }
 
 
@@ -157,7 +168,9 @@ def main():
     fps = flops_per_solve(N=cfg.n_nodes, nb=10, qp_iters=cfg.qp_iters)
     eff_flops = solves_per_s * fps
     kind = jax.devices()[0].device_kind
-    peak = next((v for k, v in PEAK_F32_FLOPS.items() if k in kind), None)
+    peak = next((v for k, v in PEAK_BF16_FLOPS.items() if k == kind), None)
+    vpu = next((v for k, v in VPU_SUSTAINED_F32_MEASURED.items() if k == kind),
+               None)
     print(
         json.dumps(
             {
@@ -170,7 +183,10 @@ def main():
                 "latency_budget_ms": 10.0,
                 "flops_per_solve": fps,
                 "effective_tflops": round(eff_flops / 1e12, 4),
-                "mfu_vs_f32_peak": (round(eff_flops / peak, 5) if peak else None),
+                "mfu_vs_bf16_mxu_peak": (round(eff_flops / peak, 5)
+                                         if peak else None),
+                "vpu_utilization_vs_measured_sol": (round(eff_flops / vpu, 4)
+                                                    if vpu else None),
                 "device_kind": kind,
                 **closed,
             }

@@ -21,9 +21,17 @@ This module answers it with measurements, not analysis:
 3. `phase_table` — joins both into per-phase VPU utilization + a
    speed-of-light summary (printed as JSON; run on the real chip).
 
-All timings chain work inside ONE jit dispatch (lax.scan) per CLAUDE.md —
-wall-clocking single dispatches here measures the axon tunnel (~30 ms), not
-the chip.
+All timings use a scan-length SWEEP with a forced scalar fetch: measured
+here, `jax.block_until_ready` does NOT reliably block under the axon tunnel
+for short computations (a 30 ms-of-device-work dispatch "completed" in
+0.3 ms of wall time while a forced `float(...)` fetch took the honest
+30 ms + ~25 ms tunnel round trip).  Timing therefore (a) reduces the output
+to a scalar on device and fetches it (a real synchronization), and (b)
+reports the SLOPE of wall time vs chained-iteration count, which cancels
+the constant tunnel latency.  Large computations (>~100 ms/dispatch, like
+the production bench) happen to agree under both methods — verified: the
+B=16384 solve bench reads 808k solves/s with block_until_ready and 807k
+with forced fetch — but nothing here assumes that.
 """
 
 from __future__ import annotations
@@ -37,6 +45,31 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# ------------------------------------------------------------------ #
+# timing: scan-length sweep with forced scalar fetch
+# ------------------------------------------------------------------ #
+
+def _slope_time(make_scan, Ks=(4, 32), tries: int = 3) -> float:
+    """Seconds per chained iteration, from the slope of wall time vs scan
+    length.  `make_scan(K)` must return a zero-arg callable whose invocation
+    runs K chained iterations and returns a device SCALAR; we force-fetch it
+    with float() — the only synchronization the axon tunnel honors for short
+    work (module docstring).  Slope over (K_lo, K_hi) cancels the constant
+    ~25 ms tunnel round trip and any dispatch overhead."""
+    ts = {}
+    for K in Ks:
+        f = make_scan(K)
+        float(f())  # compile + warm
+        best = None
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            float(f())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ts[K] = best
+    return (ts[Ks[-1]] - ts[Ks[0]]) / (Ks[-1] - Ks[0])
 
 
 # ------------------------------------------------------------------ #
@@ -58,11 +91,12 @@ def _fma_kernel(x_ref, o_ref, *, chains: int, steps: int):
     o_ref[:] = out
 
 
-def vpu_peak(sublanes: int = 256, chains: int = 8, steps: int = 256,
-             grid: int = 512, reps: int = 20) -> dict:
-    """Measured sustained f32 VPU FLOP/s on this chip (FMA = 2 FLOPs)."""
+def _fma_rate(sublanes: int, chains: int, steps: int, grid: int) -> float:
+    """Sustained f32 FLOP/s of the FMA-chain kernel at one block shape."""
     S, L = sublanes, 128
-    x = jnp.ones((grid, S, L), jnp.float32) * 0.5
+    rng = np.random.default_rng(0)
+    # non-degenerate data (no fixpoints the chain could converge onto)
+    x = jnp.asarray(rng.uniform(0.99, 1.01, (grid, S, L)).astype("float32"))
 
     kern = functools.partial(_fma_kernel, chains=chains, steps=steps)
     call = pl.pallas_call(
@@ -76,22 +110,41 @@ def vpu_peak(sublanes: int = 256, chains: int = 8, steps: int = 256,
         interpret=jax.default_backend() != "tpu",
     )
 
-    @jax.jit
-    def chained(x):
-        def body(c, _):
-            y = call(c)
-            return y, ()
-        y, _ = jax.lax.scan(body, x, None, length=reps)
-        return y
+    def make_scan(K):
+        @jax.jit
+        def f(x):
+            def body(c, _):
+                return call(c), ()
+            y, _ = jax.lax.scan(body, x, None, length=K)
+            return y.sum()
+        return lambda: f(x)
 
-    jax.block_until_ready(chained(x))
-    t0 = time.perf_counter()
-    jax.block_until_ready(chained(x))
-    dt = (time.perf_counter() - t0) / reps
+    per_call = _slope_time(make_scan)
     flops = 2.0 * chains * steps * grid * S * L  # FMA = 2
-    return {"vpu_f32_flops_per_s": flops / dt,
-            "vpu_f32_tflops": flops / dt / 1e12,
-            "kernel_ms": dt * 1e3}
+    return flops / per_call
+
+
+def vpu_peak() -> dict:
+    """Measured sustained f32 VPU FLOP/s on this chip, at two op-shape
+    classes (FMA = 2 FLOPs):
+
+    - `vreg_resident`: (8, 128) single-vreg ops, all operands in registers —
+      the chip's elementwise speed-of-light (measured 6.06 TF/s on v5e-lite,
+      77% of the nominal 940 MHz x 1024 lanes x 4 ALUs x 2 = 7.9 TF/s).
+    - `vmem_streaming`: (256, 128) 32-vreg ops — every op round-trips
+      operands through VMEM, the shape class of the fused SQP kernel's
+      (nz, L) / (nz, nz, L) sweeps (measured 2.15 TF/s).  THIS is the honest
+      roofline denominator for the solver kernels, because their working set
+      (H tile ~820 KB/lane-tile) cannot be register-resident."""
+    vreg = _fma_rate(sublanes=8, chains=16, steps=256, grid=2048)
+    vmem = _fma_rate(sublanes=256, chains=8, steps=256, grid=64)
+    return {"vreg_resident_f32_flops_per_s": vreg,
+            "vreg_resident_tflops": vreg / 1e12,
+            "vmem_streaming_f32_flops_per_s": vmem,
+            "vmem_streaming_tflops": vmem / 1e12,
+            # back-compat alias used by phase_table: the op-shape-honest one
+            "vpu_f32_flops_per_s": vmem,
+            "vpu_f32_tflops": vmem / 1e12}
 
 
 # ------------------------------------------------------------------ #
@@ -115,24 +168,22 @@ def _bench_setup(B, dtype=jnp.float32, nb=10):
     return p, x0, y_ref, rgp
 
 
-def _time_solve(solver, carry, x0, y_ref, rgp, scan_len=10, reps=3) -> float:
-    """Seconds per batched solve, chained in one dispatch."""
-    @jax.jit
-    def f(c):
-        def body(c, _):
-            c2, sol = solver.solve_batch(c, x0, y_ref, y_ref[:, -1], rgp)
-            return c2, sol.cost.sum()
-        return jax.lax.scan(body, c, None, length=scan_len)
+def _time_solve(solver, carry, x0, y_ref, rgp) -> float:
+    """Seconds per batched solve (slope over chained scan length)."""
+    def make_scan(K):
+        @jax.jit
+        def f(c):
+            def body(c, _):
+                c2, sol = solver.solve_batch(c, x0, y_ref, y_ref[:, -1], rgp)
+                return c2, sol.cost.sum()
+            _, costs = jax.lax.scan(body, c, None, length=K)
+            return costs.sum()
+        return lambda: f(carry)
 
-    jax.block_until_ready(f(carry)[1])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(f(carry)[1])
-    return (time.perf_counter() - t0) / (reps * scan_len)
+    return _slope_time(make_scan, Ks=(2, 10))
 
 
-def fused_phase_split(B: int = 16384, iters_grid=(0, 4, 8, 12),
-                      scan_len: int = 10) -> dict:
+def fused_phase_split(B: int = 16384, iters_grid=(0, 4, 8, 12)) -> dict:
     """t(qp_iters) line fit on the FUSED pipeline + standalone split-kernel
     cross-checks, all at batch B."""
     from ..models.augmented import make_mpc_dynamics
@@ -151,14 +202,12 @@ def fused_phase_split(B: int = 16384, iters_grid=(0, 4, 8, 12),
         cfg = MPCConfig(u_ref=float(p.hover_input), qp_iters=it)
         solver = SQPSolver(cfg, make_mpc_dynamics(p))
         carry = jax.vmap(lambda x: init_carry(cfg, x))(x0)
-        times[it] = _time_solve(solver, carry, x0, y_ref, rgp,
-                                scan_len=scan_len)
+        times[it] = _time_solve(solver, carry, x0, y_ref, rgp)
 
     its = np.asarray(sorted(times), np.float64)
     ts = np.asarray([times[int(i)] for i in its])
     slope, intercept = np.polyfit(its, ts, 1)
 
-    per_solve = times[max(times)] / B
     out = {
         "batch": B,
         "per_iters_seconds": {str(k): v for k, v in times.items()},
@@ -177,19 +226,25 @@ def fused_phase_split(B: int = 16384, iters_grid=(0, 4, 8, 12),
     Ul = jnp.full((N * B, nu), 0.16, dtype)
     interp = jax.default_backend() != "tpu"
 
-    @jax.jit
-    def lin_chain(x):
-        # per-step output consumed by the scan carry's ys so nothing is DCE'd
-        def body(x, _):
-            xp, J = lin(x, Ul, None, interpret=interp, tiled_out=True)
-            return x, (xp.sum() + J.sum())
-        return jax.lax.scan(body, x, None, length=scan_len)
+    def make_lin(K):
+        @jax.jit
+        def f(x):
+            # carry must DEPEND on each step's output or XLA hoists the whole
+            # (identical) step out of the scan — `+ 0.0 * s` keeps the data
+            # dependency without changing values (XLA does not fold mul-by-0,
+            # NaN semantics); verified: without it this measured 6 us "per
+            # call" for 7 GFLOP of work
+            def body(x, _):
+                xp, J = lin(x, Ul, None, interpret=interp, tiled_out=True)
+                s = xp.sum() + J.sum()
+                return x + 0.0 * s, s
+            _, ys = jax.lax.scan(body, x, None, length=K)
+            return ys.sum()
+        return lambda: f(Xl)
 
-    jax.block_until_ready(lin_chain(Xl)[1])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        jax.block_until_ready(lin_chain(Xl)[1])
-    out["lin_kernel_s"] = (time.perf_counter() - t0) / (3 * scan_len)
+    # the lin kernel is ~100x smaller than the QP phase: a (2, 10) sweep's
+    # slope is below wall-clock noise (it measured NEGATIVE) — stretch it
+    out["lin_kernel_s"] = _slope_time(make_lin, Ks=(5, 100))
 
     # QP kernel standalone at 12 iters (random SPD H of the real scale)
     from ..ops.pallas.qp_kernel import solve_box_qp_pdip_pallas_tiled
@@ -203,19 +258,45 @@ def fused_phase_split(B: int = 16384, iters_grid=(0, 4, 8, 12),
     lbt = jnp.full((ntb, nz, 128), -0.16, dtype)
     ubt = jnp.full((ntb, nz, 128), 0.84, dtype)
 
-    @jax.jit
-    def qp_chain(g):
-        def body(g, _):
-            z = solve_box_qp_pdip_pallas_tiled(Ht, g, lbt, ubt, iters=12,
-                                               interpret=interp)
-            return g + 0.0 * z, z.sum()
-        return jax.lax.scan(body, g, None, length=scan_len)
+    # condense kernel standalone (random tangents of the real scale)
+    from ..ops.pallas.condense_kernel import condense_cost_from_J_tiled
 
-    jax.block_until_ready(qp_chain(gt)[1])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        jax.block_until_ready(qp_chain(gt)[1])
-    out["qp_kernel_12it_s"] = (time.perf_counter() - t0) / (3 * scan_len)
+    nx = 13
+    Jt = jax.random.normal(jax.random.PRNGKey(3), (ntb, N, 17, nx, 128),
+                           dtype) * 0.1
+    rt = jax.random.normal(jax.random.PRNGKey(4), (ntb, N, nx, 128), dtype)
+    dx0t = jax.random.normal(jax.random.PRNGKey(5), (ntb, nx, 128), dtype)
+    ex0t = jax.random.normal(jax.random.PRNGKey(6), (ntb, N + 1, nx, 128),
+                             dtype)
+    qw = (10.0,) * 3 + (0.1,) * 4 + (0.05,) * 6
+    rw = (0.1,) * 4
+
+    def make_cond(K):
+        @jax.jit
+        def f(J):
+            def body(J, _):
+                Ht_, gt_, Mt_, dt_ = condense_cost_from_J_tiled(
+                    J, rt, dx0t, ex0t, qw, qw, rw, interpret=interp)
+                s = Ht_.sum() + gt_.sum() + Mt_.sum() + dt_.sum()
+                return J + 0.0 * s, s
+            _, ys = jax.lax.scan(body, J, None, length=K)
+            return ys.sum()
+        return lambda: f(Jt)
+
+    out["condense_kernel_s"] = _slope_time(make_cond, Ks=(2, 20))
+
+    def make_qp(K):
+        @jax.jit
+        def f(g):
+            def body(g, _):
+                z = solve_box_qp_pdip_pallas_tiled(Ht, g, lbt, ubt, iters=12,
+                                                   interpret=interp)
+                return g + 0.0 * z, z.sum()
+            _, ys = jax.lax.scan(body, g, None, length=K)
+            return ys.sum()
+        return lambda: f(gt)
+
+    out["qp_kernel_12it_s"] = _slope_time(make_qp, Ks=(2, 10))
     return out
 
 

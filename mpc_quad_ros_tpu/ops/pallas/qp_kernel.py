@@ -104,42 +104,46 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
         rhs = -r + (mu - sl * zl) / sl - (mu - su * zu) / su
 
         # ---- panel-blocked right-looking Cholesky of M = H + diag(d) ----
-        # Statically unrolled: columns are SSA values, so the substitutions
-        # below access them directly (no masked full-matrix row extraction),
-        # and the trailing update is one unmasked rank-PANEL FMA sweep per
-        # panel instead of a masked (nz, nz, L) pass per column.
+        # "Shrinking" formulation (round-3 roofline work): R holds only the
+        # not-yet-factored trailing submatrix and shrinks in BOTH dims each
+        # panel, so trailing updates are plain symmetric rank-1 FMAs on
+        # (rem, rem, L) tiles — no (nz, rem, PANEL, L) 4D temporary, no
+        # concatenate churn, and each panel's update touches only the live
+        # rows (~half the FLOPs of full-height updates).  Columns are
+        # zero-padded back to nz for the substitutions (one concat per
+        # column).  Measured -21% on the standalone 12-iter kernel at
+        # B=16384 on v5e-lite (8.58 -> 6.80 ms) vs the previous
+        # stack/concatenate version; z agrees to one f32 ulp (the trailing
+        # sum order changes).
         eye = jnp.where(r3 == k3, 1.0, 0.0).astype(dtype)
         A = H + eye * d[:, None, :]
-        cols = []                                  # L columns, each (nz, L)
+        cols = []                                  # full-height (nz, L) columns
         diags = []                                 # L[j, j], each (L,)
+        R = A
         for t in range(n_panels):
             c0 = t * PANEL
-            P = A[:, c0:c0 + PANEL, :]             # (nz, PANEL, L) static slice
+            pw = min(PANEL, nz - c0)
+            hh = nz - c0                           # live height of R
+            i2h = jax.lax.broadcasted_iota(jnp.int32, (hh, LANE_TILE), 0)
+            P = R[:, :pw, :]                       # (hh, pw, L) static slice
             pcols = []
-            for jj in range(PANEL):
-                j = c0 + jj
-                colA = P[:, jj, :]                 # (nz, L)
-                diag = jnp.sqrt(jnp.maximum(colA[j], 1e-12))       # (L,)
-                col = jnp.where(i2 > j, colA / diag[None, :],
-                                jnp.where(i2 == j, diag[None, :], 0.0))
-                cols.append(col)
-                diags.append(diag)
+            for jj in range(pw):
+                colA = P[:, jj, :]                 # (hh, L); diagonal at row jj
+                for kk in range(jj):               # left-looking within panel
+                    colA = colA - pcols[kk] * pcols[kk][jj][None, :]
+                diag = jnp.sqrt(jnp.maximum(colA[jj], 1e-12))      # (L,)
+                col = jnp.where(i2h > jj, colA / diag[None, :],
+                                jnp.where(i2h == jj, diag[None, :], 0.0))
                 pcols.append(col)
-                if jj + 1 < PANEL:
-                    # update the rest of the panel: P[:, k] -= col * col[c0+k]
-                    rows = jnp.stack([col[c0 + kk] for kk in range(jj + 1, PANEL)],
-                                     axis=0)       # (PANEL-jj-1, L)
-                    upd = col[:, None, :] * rows[None, :, :]
-                    P = jnp.concatenate(
-                        [P[:, :jj + 1, :], P[:, jj + 1:, :] - upd], axis=1)
+                diags.append(diag)
+                cols.append(col if c0 == 0 else jnp.concatenate(
+                    [jnp.zeros((c0, LANE_TILE), dtype), col], axis=0))
             if t + 1 < n_panels:
-                # trailing rank-PANEL update of the remaining columns:
-                # A[:, m] -= sum_p pcols[p] * pcols[p][m]
-                Pc = jnp.stack(pcols, axis=1)      # (nz, PANEL, L)
-                rows = Pc[c0 + PANEL:]             # (rem, PANEL, L)
-                upd = jnp.sum(Pc[:, None, :, :] * rows[None, :, :, :], axis=2)
-                A = jnp.concatenate(
-                    [A[:, :c0 + PANEL, :], A[:, c0 + PANEL:, :] - upd], axis=1)
+                Rrest = R[pw:, pw:, :]             # (hh-pw, hh-pw, L)
+                for pp in range(pw):
+                    cp = pcols[pp][pw:]            # (hh-pw, L)
+                    Rrest = Rrest - cp[:, None, :] * cp[None, :, :]
+                R = Rrest
 
         # ---- forward substitution: L y = rhs  (unrolled, column values) ----
         acc = jnp.zeros((nz, LANE_TILE), dtype)

@@ -195,36 +195,40 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
         dd = zl / sl + zu / su
         rhs = -r + (mu - sl * zl) / sl - (mu - su * zu) / su
 
-        # panel-blocked right-looking Cholesky of M = H + diag(dd)
+        # panel-blocked right-looking Cholesky of M = H + diag(dd) —
+        # shrinking formulation, identical body to qp_kernel._qp_kernel
+        # (see the design/measurement note there; keeping the two bodies
+        # identical is what makes fused == tiled == split bitwise,
+        # tests/test_pipeline_equivalence.py)
         eye = jnp.where(r3 == k3, 1.0, 0.0).astype(dtype)
         A = H + eye * dd[:, None, :]
         cols = []
         diags = []
+        R = A
         for t in range(n_panels):
             c0 = t * PANEL
-            P = A[:, c0:c0 + PANEL, :]
+            pw = min(PANEL, nz - c0)
+            hh = nz - c0
+            i2h = jax.lax.broadcasted_iota(jnp.int32, (hh, L), 0)
+            P = R[:, :pw, :]
             pcols = []
-            for jj in range(PANEL):
-                j = c0 + jj
+            for jj in range(pw):
                 colA = P[:, jj, :]
-                diag = jnp.sqrt(jnp.maximum(colA[j], 1e-12))
-                col = jnp.where(i2 > j, colA / diag[None, :],
-                                jnp.where(i2 == j, diag[None, :], 0.0))
-                cols.append(col)
-                diags.append(diag)
+                for kk in range(jj):
+                    colA = colA - pcols[kk] * pcols[kk][jj][None, :]
+                diag = jnp.sqrt(jnp.maximum(colA[jj], 1e-12))
+                col = jnp.where(i2h > jj, colA / diag[None, :],
+                                jnp.where(i2h == jj, diag[None, :], 0.0))
                 pcols.append(col)
-                if jj + 1 < PANEL:
-                    rows = jnp.stack([col[c0 + kk] for kk in range(jj + 1, PANEL)],
-                                     axis=0)
-                    upd = col[:, None, :] * rows[None, :, :]
-                    P = jnp.concatenate(
-                        [P[:, :jj + 1, :], P[:, jj + 1:, :] - upd], axis=1)
+                diags.append(diag)
+                cols.append(col if c0 == 0 else jnp.concatenate(
+                    [jnp.zeros((c0, L), dtype), col], axis=0))
             if t + 1 < n_panels:
-                Pc = jnp.stack(pcols, axis=1)
-                rows = Pc[c0 + PANEL:]
-                upd = jnp.sum(Pc[:, None, :, :] * rows[None, :, :, :], axis=2)
-                A = jnp.concatenate(
-                    [A[:, :c0 + PANEL, :], A[:, c0 + PANEL:, :] - upd], axis=1)
+                Rrest = R[pw:, pw:, :]
+                for pp in range(pw):
+                    cp = pcols[pp][pw:]
+                    Rrest = Rrest - cp[:, None, :] * cp[None, :, :]
+                R = Rrest
 
         # forward substitution: L y = rhs
         acc = jnp.zeros((nz, L), dtype)

@@ -48,68 +48,83 @@ def _condense_kernel(A_ref, B_ref, r_ref, dx0_ref, ex0_ref,
     nz = N * nu
     L = LANE_TILE
 
-    H_ref[0] = jnp.zeros((nz, nz, L), dtype)
-    g_ref[0] = jnp.zeros((nz, L), dtype)
-    M_scr[...] = jnp.zeros((nx, nz, L), dtype)
     M_ref[0, 0] = jnp.zeros((nx, nz, L), dtype)
 
     d = dx0_ref[0]                                     # (nx, L)
     d_ref[0, 0] = d
 
-    def accumulate(Mk, exk, w):
+    # Live-width condensing, same structure as _condense_kernel_J /
+    # sqp_fused_kernel pass 1 (design note there): H/g accumulate in SSA on
+    # the growing (k*nu)-wide live block; M recurrence contracts live
+    # columns only.  B_k lands via static zero-padded concat (a .at[].add
+    # lowers to scatter-add, unsupported in Mosaic; zero-width pieces are
+    # skipped — Mosaic rejects size-0 vectors).
+    H = None
+    g = None
+    lw_acc = 0
+    M = jnp.zeros((nx, nz, L), dtype)
+
+    def grow(H, g, lw_old, lw_new):
+        if H is None:
+            return (jnp.zeros((lw_new, lw_new, L), dtype),
+                    jnp.zeros((lw_new, L), dtype))
+        dw = lw_new - lw_old
+        if dw == 0:
+            return H, g
+        H = jnp.concatenate([H, jnp.zeros((dw, lw_old, L), dtype)], axis=0)
+        H = jnp.concatenate([H, jnp.zeros((lw_new, dw, L), dtype)], axis=1)
+        g = jnp.concatenate([g, jnp.zeros((dw, L), dtype)], axis=0)
+        return H, g
+
+    def accumulate(H, g, Mk_live, exk, w):
         """H += Mk^T diag(w) Mk;  g += Mk^T diag(w) exk  (w: static tuple)."""
-        W = jnp.stack([w[i] * Mk[i] for i in range(nx)], axis=0)   # (nx, nz, L)
-        Hc = H_ref[0]
+        W = jnp.stack([w[i] * Mk_live[i] for i in range(nx)], axis=0)
         for i in range(nx):
-            Hc = Hc + Mk[i][:, None, :] * W[i][None, :, :]
-        H_ref[0] = Hc
-        gc = g_ref[0]
-        for i in range(nx):
-            gc = gc + W[i] * exk[i][None, :]
-        g_ref[0] = gc
+            H = H + Mk_live[i][:, None, :] * W[i][None, :, :]
+            g = g + W[i] * exk[i][None, :]
+        return H, g
 
     for k in range(N):
         A_k = A_ref[0, k]                              # (nx, nx, L)
         B_k = B_ref[0, k]                              # (nx, nu, L)
         r_k = r_ref[0, k]
 
+        lw = k * nu
         # stage-k cost term (M_0 = 0 contributes nothing; skip k=0)
         if k > 0:
-            accumulate(M_scr[...], ex0_ref[0, k] + d, q)
+            H, g = grow(H, g, lw_acc, lw)
+            lw_acc = lw
+            H, g = accumulate(H, g, M[:, :lw, :], ex0_ref[0, k] + d, q)
 
         # d_{k+1} = A_k d + r_k  — contraction over the state dim
         d = sum(A_k[:, j, :] * d[j][None, :] for j in range(nx)) + r_k
         d_ref[0, k + 1] = d
 
         # M_{k+1} = A_k M_k + B_k E_k
-        Mk = M_scr[...]
-        Mn = jnp.zeros((nx, nz, L), dtype)
-        for j in range(nx):
-            Mn = Mn + A_k[:, j, :][:, None, :] * Mk[j][None, :, :]
-        # B_k lands in columns [k*nu, (k+1)*nu): static zero-padded concat
-        # (a .at[].add lowers to scatter-add, unsupported in Mosaic; zero-width
-        # pieces at the ends are skipped — Mosaic rejects size-0 vectors)
         pieces = []
         if k > 0:
-            pieces.append(jnp.zeros((nx, k * nu, L), dtype))
+            Mn = jnp.zeros((nx, lw, L), dtype)
+            for j in range(nx):
+                Mn = Mn + A_k[:, j, :][:, None, :] * M[j, :lw][None, :, :]
+            pieces.append(Mn)
         pieces.append(B_k)
         if nz - (k + 1) * nu > 0:
             pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
-        Mn = Mn + (pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1))
-        M_scr[...] = Mn
-        M_ref[0, k + 1] = Mn
+        M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+        M_ref[0, k + 1] = M
 
     # terminal term with weight p
-    accumulate(M_scr[...], ex0_ref[0, N] + d, p)
+    H, g = grow(H, g, lw_acc, nz)
+    H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)
 
     # + kron(I_N, diag(rw)): add rw[c % nu] on the Hessian diagonal
     # (rw entries are static Python floats — no captured device constants)
     ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 1)
-    Hc = H_ref[0]
     for i in range(nu):
-        Hc = Hc + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
-    H_ref[0] = Hc
+        H = H + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
+    H_ref[0] = H
+    g_ref[0] = g
 
 
 def _condense_kernel_J(J_ref, r_ref, dx0_ref, ex0_ref,
@@ -123,57 +138,75 @@ def _condense_kernel_J(J_ref, r_ref, dx0_ref, ex0_ref,
     nz = N * nu
     L = LANE_TILE
 
-    H_ref[0] = jnp.zeros((nz, nz, L), dtype)
-    g_ref[0] = jnp.zeros((nz, L), dtype)
-    M_scr[...] = jnp.zeros((nx, nz, L), dtype)
     M_ref[0, 0] = jnp.zeros((nx, nz, L), dtype)
 
     d = dx0_ref[0]
     d_ref[0, 0] = d
 
-    def accumulate(Mk, exk, w):
-        W = jnp.stack([w[i] * Mk[i] for i in range(nx)], axis=0)
-        Hc = H_ref[0]
+    # Live-width condensing — identical body to sqp_fused_kernel pass 1
+    # (see the design note there; identical code keeps fused == tiled
+    # bitwise, tests/test_pipeline_equivalence.py).  H/g accumulate in SSA
+    # on the growing (k*nu)-wide live block (one final ref write, no VMEM
+    # round-trip per stage); M recurrence contracts the live block only.
+    H = None
+    g = None
+    lw_acc = 0
+    M = jnp.zeros((nx, nz, L), dtype)
+
+    def grow(H, g, lw_old, lw_new):
+        if H is None:
+            return (jnp.zeros((lw_new, lw_new, L), dtype),
+                    jnp.zeros((lw_new, L), dtype))
+        dw = lw_new - lw_old
+        if dw == 0:
+            return H, g
+        H = jnp.concatenate([H, jnp.zeros((dw, lw_old, L), dtype)], axis=0)
+        H = jnp.concatenate([H, jnp.zeros((lw_new, dw, L), dtype)], axis=1)
+        g = jnp.concatenate([g, jnp.zeros((dw, L), dtype)], axis=0)
+        return H, g
+
+    def accumulate(H, g, Mk_live, exk, w):
+        W = jnp.stack([w[i] * Mk_live[i] for i in range(nx)], axis=0)
         for i in range(nx):
-            Hc = Hc + Mk[i][:, None, :] * W[i][None, :, :]
-        H_ref[0] = Hc
-        gc = g_ref[0]
-        for i in range(nx):
-            gc = gc + W[i] * exk[i][None, :]
-        g_ref[0] = gc
+            H = H + Mk_live[i][:, None, :] * W[i][None, :, :]
+            g = g + W[i] * exk[i][None, :]
+        return H, g
 
     for k in range(N):
         r_k = r_ref[0, k]
 
+        lw = k * nu
         if k > 0:
-            accumulate(M_scr[...], ex0_ref[0, k] + d, q)
+            H, g = grow(H, g, lw_acc, lw)
+            lw_acc = lw
+            H, g = accumulate(H, g, M[:, :lw, :], ex0_ref[0, k] + d, q)
 
         d = sum(J_ref[0, k, j] * d[j][None, :] for j in range(nx)) + r_k
         d_ref[0, k + 1] = d
 
-        Mk = M_scr[...]
-        Mn = jnp.zeros((nx, nz, L), dtype)
-        for j in range(nx):
-            Mn = Mn + J_ref[0, k, j][:, None, :] * Mk[j][None, :, :]
         pieces = []
         if k > 0:
-            pieces.append(jnp.zeros((nx, k * nu, L), dtype))
+            Mn = jnp.zeros((nx, lw, L), dtype)
+            for j in range(nx):
+                Mn = Mn + J_ref[0, k, j][:, None, :] * M[j, :lw][None, :, :]
+            pieces.append(Mn)
         # B_k columns straight from the tangent block
         pieces.append(jnp.stack([J_ref[0, k, nx + j] for j in range(nu)], axis=1))
         if nz - (k + 1) * nu > 0:
             pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
-        Mn = Mn + (pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1))
-        M_scr[...] = Mn
-        M_ref[0, k + 1] = Mn
+        M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+        M_ref[0, k + 1] = M                 # (M_scr scratch no longer used —
+        #                                     the running M lives in SSA)
 
-    accumulate(M_scr[...], ex0_ref[0, N] + d, p)
+    H, g = grow(H, g, lw_acc, nz)
+    H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)
 
     ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 1)
-    Hc = H_ref[0]
     for i in range(nu):
-        Hc = Hc + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
-    H_ref[0] = Hc
+        H = H + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
+    H_ref[0] = H
+    g_ref[0] = g
 
 
 @functools.partial(jax.jit, static_argnames=("q", "p", "rw", "nu", "interpret"))

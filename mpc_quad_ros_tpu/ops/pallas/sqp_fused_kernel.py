@@ -100,18 +100,41 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     tu_all = (ti_u - nx == tr_u).astype(dtype)
 
     # ---- pass 1: linearize + condense, H/g as SSA, M/d into scratch ----
-    H = jnp.zeros((nz, nz, L), dtype)
-    g = jnp.zeros((nz, L), dtype)
+    # Live-width condensing (round-3 roofline work): at stage k the map M_k
+    # has nonzero columns only in [0, k*nu) — controls after stage k cannot
+    # affect x_k.  The H/g accumulation and the M recurrence therefore
+    # operate on the (k*nu)-wide live block only (the dead region is exact
+    # +0.0s contributing exact zeros), with H/g grown by zero-padding as the
+    # block widens.  Cuts the H-accumulation FLOPs to 38% and the
+    # M-recurrence to 45% of the full-width version, bitwise-identically
+    # (live-region add order unchanged; tests/test_pipeline_equivalence.py).
+    H = None                                             # (lw, lw, L) growing
+    g = None                                             # (lw, L) growing
+    lw_acc = 0                                           # current width of H/g
     M = jnp.zeros((nx, nz, L), dtype)
     d = dx0_ref[0]
     M_all[0] = M
     d_all[0] = d
 
-    def accumulate(H, g, Mk, exk, w):
-        """H += Mk^T diag(w) Mk;  g += Mk^T diag(w) exk  (w static tuple)."""
-        W = jnp.stack([w[i] * Mk[i] for i in range(nx)], axis=0)
+    def grow(H, g, lw_old, lw_new):
+        """Zero-pad the live H/g block from width lw_old to lw_new."""
+        if H is None:
+            return (jnp.zeros((lw_new, lw_new, L), dtype),
+                    jnp.zeros((lw_new, L), dtype))
+        dw = lw_new - lw_old
+        if dw == 0:
+            return H, g
+        H = jnp.concatenate([H, jnp.zeros((dw, lw_old, L), dtype)], axis=0)
+        H = jnp.concatenate([H, jnp.zeros((lw_new, dw, L), dtype)], axis=1)
+        g = jnp.concatenate([g, jnp.zeros((dw, L), dtype)], axis=0)
+        return H, g
+
+    def accumulate(H, g, Mk_live, exk, w):
+        """H += Mk^T diag(w) Mk;  g += Mk^T diag(w) exk on the live block
+        (w static tuple; Mk_live: (nx, lw, L))."""
+        W = jnp.stack([w[i] * Mk_live[i] for i in range(nx)], axis=0)
         for i in range(nx):
-            H = H + Mk[i][:, None, :] * W[i][None, :, :]
+            H = H + Mk_live[i][:, None, :] * W[i][None, :, :]
             g = g + W[i] * exk[i][None, :]
         return H, g
 
@@ -123,26 +146,30 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
         Jk = [Jfull[i] for i in range(NT)]               # columns of [A_k|B_k]
         r_k = xp - X_ref[0, k + 1]
 
+        lw = k * nu                                      # live width of M_k
         if k > 0:  # stage-k cost term (M_0 = 0 contributes nothing)
-            H, g = accumulate(H, g, M, ex0_ref[0, k] + d, q)
+            H, g = grow(H, g, lw_acc, lw)
+            lw_acc = lw
+            H, g = accumulate(H, g, M[:, :lw, :], ex0_ref[0, k] + d, q)
 
         # d_{k+1} = A_k d + r_k — tangent j IS column j of A_k
         d = sum(Jk[j] * d[j][None, :] for j in range(nx)) + r_k
 
-        # M_{k+1} = A_k M_k + B_k E_k
-        Mn = jnp.zeros((nx, nz, L), dtype)
-        for j in range(nx):
-            Mn = Mn + Jk[j][:, None, :] * M[j][None, :, :]
+        # M_{k+1} = A_k M_k + B_k E_k — contract over the live block only
         pieces = []
         if k > 0:
-            pieces.append(jnp.zeros((nx, k * nu, L), dtype))
+            Mn = jnp.zeros((nx, lw, L), dtype)
+            for j in range(nx):
+                Mn = Mn + Jk[j][:, None, :] * M[j, :lw][None, :, :]
+            pieces.append(Mn)
         pieces.append(jnp.stack([Jk[nx + j] for j in range(nu)], axis=1))
         if nz - (k + 1) * nu > 0:
             pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
-        M = Mn + (pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1))
+        M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
         M_all[k + 1] = M
         d_all[k + 1] = d
 
+    H, g = grow(H, g, lw_acc, nz)                        # full width for the
     H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)     # terminal (weight p)
 
     # + kron(I_N, diag(rw)) on the diagonal (rw static floats)

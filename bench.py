@@ -28,20 +28,13 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
-def flops_per_solve(N=10, nx=13, nu=4, nt=17, nb=10, qp_iters=12,
-                    f_eval_flops=600):
-    """Analytic FLOP count of one RGP-augmented SQP-RTI solve (for the
-    roofline/MFU line).  Phases: RK4 linearization with nt stacked tangents,
-    condensing recurrence + Gauss-Newton H/g accumulation, `qp_iters`
-    IPM factorizations (nz^3/3 Cholesky + triangular solves + matvec), and
-    the dX = Mz + d expansion.  f_eval_flops ~ one 13-state dynamics eval
-    incl. the 3x`nb` RGP mean (quaternion algebra + kernel row + matvec)."""
-    nz = N * nu
-    lin = N * 4 * (1 + nt) * f_eval_flops
-    condense = N * (2 * nx * nx * nz) + (N + 1) * (2 * nz * nz * nx)
-    qp = qp_iters * (nz**3 // 3 + 2 * 2 * nz * nz + 2 * nz * nz + 8 * nz)
-    expand = (N + 1) * 2 * nx * nz
-    return lin + condense + qp + expand
+# FLOP accounting lives in mpc_quad_ros_tpu/bench/phases.py:
+# - `executed_vpu_flops` mirrors the HEAD kernel's loops (live-width
+#   condensing, shrinking panel Cholesky) — the honest numerator for any
+#   utilization/roofline fraction;
+# - `analytic_vpu_flops` is the naive full-width convention, kept ONLY so
+#   "effective TFLOP/s" stays comparable across rounds (ADVICE r3 medium:
+#   dividing naive FLOPs by optimized times overstates utilization).
 
 
 # Sourced per-chip peaks (Google Cloud TPU public specs, per chip):
@@ -164,12 +157,21 @@ def main():
             "closed_loop_err_p95_m": round(cl["err_p95_m"], 4),
         }
 
-    # --- roofline: analytic FLOPs/solve -> effective TFLOP/s and MFU ---
-    fps = flops_per_solve(N=cfg.n_nodes, nb=10, qp_iters=cfg.qp_iters)
-    eff_flops = solves_per_s * fps
+    # --- roofline: FLOPs/solve -> effective TFLOP/s and MFU ---
+    from mpc_quad_ros_tpu.bench.phases import (analytic_vpu_flops,
+                                               executed_vpu_flops)
+
+    fps_exec = executed_vpu_flops(N=cfg.n_nodes, qp_iters=cfg.qp_iters)["total"]
+    fps_naive = analytic_vpu_flops(N=cfg.n_nodes, nb=10,
+                                   qp_iters=cfg.qp_iters)["total"]
+    exec_flops = solves_per_s * fps_exec
+    eff_flops = solves_per_s * fps_naive
     kind = jax.devices()[0].device_kind
-    peak = next((v for k, v in PEAK_BF16_FLOPS.items() if k == kind), None)
-    vpu = next((v for k, v in VPU_SUSTAINED_F32_MEASURED.items() if k == kind),
+    # substring match: device kinds carry variant suffixes across jax
+    # versions (e.g. "TPU v5 lite", pod/megacore decorations) — exact
+    # equality silently yields null MFU on those
+    peak = next((v for k, v in PEAK_BF16_FLOPS.items() if k in kind), None)
+    vpu = next((v for k, v in VPU_SUSTAINED_F32_MEASURED.items() if k in kind),
                None)
     print(
         json.dumps(
@@ -181,11 +183,16 @@ def main():
                 "latency_p50_ms": round(p50, 3),
                 "latency_p99_ms": round(p99, 3),
                 "latency_budget_ms": 10.0,
-                "flops_per_solve": fps,
-                "effective_tflops": round(eff_flops / 1e12, 4),
-                "mfu_vs_bf16_mxu_peak": (round(eff_flops / peak, 5)
+                # executed = what the HEAD kernel actually runs (live-width
+                # condensing, shrinking Cholesky) — the utilization numerator;
+                # naive convention kept for cross-round TFLOP/s comparability
+                "flops_per_solve_executed": fps_exec,
+                "flops_per_solve_naive_convention": fps_naive,
+                "executed_tflops": round(exec_flops / 1e12, 4),
+                "effective_tflops_naive_convention": round(eff_flops / 1e12, 4),
+                "mfu_vs_bf16_mxu_peak": (round(exec_flops / peak, 5)
                                          if peak else None),
-                "vpu_utilization_vs_measured_sol": (round(eff_flops / vpu, 4)
+                "vpu_utilization_vs_measured_sol": (round(exec_flops / vpu, 4)
                                                     if vpu else None),
                 "device_kind": kind,
                 **closed,

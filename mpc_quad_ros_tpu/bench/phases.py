@@ -302,8 +302,13 @@ def fused_phase_split(B: int = 16384, iters_grid=(0, 4, 8, 12)) -> dict:
 
 def analytic_vpu_flops(N=10, nx=13, nu=4, nt=17, nb=10, qp_iters=12,
                        f_eval_flops=600):
-    """Per-solve VPU FLOPs by phase (all ops in the fused kernel are
-    elementwise lane sweeps, so VPU FLOPs == total FLOPs)."""
+    """Per-solve FLOPs under the NAIVE algorithmic convention (full-width
+    condensing, full-height Cholesky) — the round-1/2 numerator, kept ONLY
+    for cross-round comparability of "effective TFLOP/s".  The kernel at
+    HEAD executes fewer FLOPs than this (live-width condensing, shrinking
+    panel Cholesky), so dividing THESE counts by measured time credits
+    algorithmic savings as hardware utilization.  Utilization/roofline
+    numbers must use `executed_vpu_flops` instead (ADVICE r3 medium)."""
     nz = N * nu
     lin = N * 4 * (1 + nt) * f_eval_flops
     condense = N * (2 * nx * nx * nz) + (N + 1) * (2 * nz * nz * nx)
@@ -316,18 +321,92 @@ def analytic_vpu_flops(N=10, nx=13, nu=4, nt=17, nb=10, qp_iters=12,
             "total": lin + condense + qp_iters * ipm1 + expand}
 
 
+def executed_vpu_flops(N=10, nx=13, nu=4, nt=17, qp_iters=12,
+                       f_eval_flops=600, panel=8):
+    """Per-solve VPU FLOPs the fused kernel ACTUALLY EXECUTES at HEAD,
+    counted by mirroring its loops statement-by-statement
+    (`ops/pallas/sqp_fused_kernel._fused_kernel`):
+
+    - live-width condensing: stage k's H/g accumulation and M recurrence
+      touch only the (k*nu)-wide live block (FMA = 2 FLOPs);
+    - shrinking panel Cholesky: per-panel left-looking columns + rank-1
+      trailing updates on the shrinking (hh-pw)^2 live submatrix;
+    - substitutions DO run full nz height (zero-padded columns) — their
+      multiply-by-zero lanes are physically executed and counted.
+
+    Mask/select lanes (`jnp.where`) are not FLOPs and are not counted; the
+    diagonal where-adds are counted as the adds they execute.  `lin` stays
+    the same per-eval estimate as the naive count (the dynamics eval has no
+    structural-zero savings).  This is the honest numerator for "fraction of
+    measured VPU speed-of-light"."""
+    nz = N * nu
+    lin = N * 4 * (1 + nt) * f_eval_flops
+
+    condense = 0
+    for k in range(N):
+        lw = k * nu
+        if k > 0:
+            # accumulate(H, g, M[:, :lw], ex, q): W stack + H FMA + g FMA
+            condense += nx * lw            # W = q_i * M_i
+            condense += 2 * nx * lw * lw   # H += M_i W_i^T
+            condense += 2 * nx * lw + nx   # g += W_i ex_i; ex = ex0 + d
+            # M recurrence on the live block: Mn += J_j M[j, :lw]
+            condense += 2 * nx * nx * lw
+        condense += 2 * nx * nx + nx       # d = A d + r
+    # terminal accumulate at full width nz
+    condense += nx * nz + 2 * nx * nz * nz + 2 * nx * nz + nx
+    condense += nu * nz * nz               # rw diagonal where-adds
+
+    # ---- one IPM iteration ----
+    ipm1 = 4 * nz                          # duality gap
+    ipm1 += 2 * nz * nz + 3 * nz           # Hz + r
+    ipm1 += 3 * nz + 8 * nz                # dd, rhs
+    ipm1 += 2 * nz * nz                    # A = H + eye*dd
+    n_panels = (nz + panel - 1) // panel
+    chol = 0
+    for t in range(n_panels):
+        c0 = t * panel
+        pw = min(panel, nz - c0)
+        hh = nz - c0
+        for jj in range(pw):
+            chol += 2 * jj * hh            # left-looking column updates
+            chol += 1 + hh                 # sqrt + column divide
+        if t + 1 < n_panels:
+            chol += 2 * pw * (hh - pw) ** 2  # shrinking trailing update
+    ipm1 += chol
+    ipm1 += nz * (2 + 2 * nz)              # fwd subst (full-height acc FMA)
+    ipm1 += nz * (2 * nz + 2)              # back subst (masked full column)
+    ipm1 += 10 * nz                        # dzl/dzu
+    ipm1 += 12 * nz + 10 * nz              # fraction-to-boundary + updates
+
+    kkt = 2 * nz * nz + 6 * nz
+    expand = (N + 1) * (2 * nx * nz + nx)
+    total = lin + condense + qp_iters * ipm1 + kkt + expand
+    return {"lin": lin, "condense": condense, "ipm_per_iter": ipm1,
+            "ipm_total": qp_iters * ipm1, "kkt": kkt, "expand": expand,
+            "total": total}
+
+
 def phase_table(B: int = 16384) -> dict:
+    """Utilization numbers divide EXECUTED FLOPs (`executed_vpu_flops`,
+    mirroring the HEAD kernel's live-width/shrinking loops) by measured
+    phase times — algorithmic FLOP savings are not credited as hardware
+    saturation.  The naive-convention count is reported alongside for
+    cross-round comparability of 'effective TFLOP/s' only."""
     peak = vpu_peak()
     split = fused_phase_split(B)
-    fl = analytic_vpu_flops()
+    fl = executed_vpu_flops()
+    fl_naive = analytic_vpu_flops()
     vpu = peak["vpu_f32_flops_per_s"]
 
     ipm_f = fl["ipm_per_iter"] * B / split["ipm_per_iteration_s"]
-    non_ipm_f = (fl["lin"] + fl["condense"] + fl["expand"]) * B / split["non_ipm_intercept_s"]
+    non_ipm_f = ((fl["lin"] + fl["condense"] + fl["kkt"] + fl["expand"]) * B
+                 / split["non_ipm_intercept_s"])
     return {
         "measured_vpu_peak_tflops": peak["vpu_f32_tflops"],
         "fused_split": split,
-        "analytic_flops_per_solve": fl,
+        "executed_flops_per_solve": fl,
+        "naive_convention_flops_per_solve": fl_naive,
         "ipm_vpu_utilization": ipm_f / vpu,
         "non_ipm_vpu_utilization": non_ipm_f / vpu,
         "device_kind": jax.devices()[0].device_kind,

@@ -35,14 +35,14 @@ LANE_TILE = 128
 
 
 def _condense_kernel(A_ref, B_ref, r_ref, dx0_ref, ex0_ref,
-                     H_ref, g_ref, M_ref, d_ref, M_scr,
+                     H_ref, g_ref, M_ref, d_ref,
                      *, N: int, nx: int, nu: int, q: tuple, p: tuple, rw: tuple):
     """One tile = LANE_TILE scenarios, lanes-last.
 
     A: (1, N, nx, nx, L); B: (1, N, nx, nu, L); r: (1, N, nx, L);
     dx0: (1, nx, L); ex0 = X - yref: (1, N+1, nx, L).
     Outputs: H (1, nz, nz, L), g (1, nz, L), M (1, N+1, nx, nz, L),
-    d (1, N+1, nx, L).  M_scr: (nx, nz, L) VMEM scratch.
+    d (1, N+1, nx, L).
     """
     dtype = A_ref.dtype
     nz = N * nu
@@ -128,7 +128,7 @@ def _condense_kernel(A_ref, B_ref, r_ref, dx0_ref, ex0_ref,
 
 
 def _condense_kernel_J(J_ref, r_ref, dx0_ref, ex0_ref,
-                       H_ref, g_ref, M_ref, d_ref, M_scr,
+                       H_ref, g_ref, M_ref, d_ref,
                        *, N: int, nx: int, nu: int, q: tuple, p: tuple, rw: tuple):
     """Tiled-J variant: the linearization kernel's raw tangent output
     J (1, N, 17, nx, L) is consumed COLUMN-WISE with zero repacking —
@@ -195,8 +195,7 @@ def _condense_kernel_J(J_ref, r_ref, dx0_ref, ex0_ref,
         if nz - (k + 1) * nu > 0:
             pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
         M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
-        M_ref[0, k + 1] = M                 # (M_scr scratch no longer used —
-        #                                     the running M lives in SSA)
+        M_ref[0, k + 1] = M                 # the running M lives in SSA
 
     H, g = grow(H, g, lw_acc, nz)
     H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)
@@ -253,7 +252,6 @@ def condense_cost_from_J_tiled(Jt, rt, dx0t, ex0t, q: tuple, p: tuple, rw: tuple
             jax.ShapeDtypeStruct((nt, N + 1, nx, nz, LANE_TILE), dtype),
             jax.ShapeDtypeStruct((nt, N + 1, nx, LANE_TILE), dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((nx, nz, LANE_TILE), dtype)],
         interpret=interpret,
     )(Jt, rt, dx0t, ex0t)
 
@@ -321,7 +319,6 @@ def condense_cost_pallas(A, B, r, dx0, ex0, q: tuple, p: tuple, rw: tuple,
             jax.ShapeDtypeStruct((nt, N + 1, nx, nz, LANE_TILE), dtype),
             jax.ShapeDtypeStruct((nt, N + 1, nx, LANE_TILE), dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((nx, nz, LANE_TILE), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100 * 1024 * 1024)
         ),

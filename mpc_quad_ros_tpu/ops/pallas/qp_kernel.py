@@ -38,16 +38,16 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
                warm: bool):
     """Solve LANE_TILE box-QPs: refs are lanes-last.
 
-    H_ref: (1, nz, nz, L);  g/lb/ub/z: (1, nz, L);  L_ref scratch: (nz, nz, L).
+    H_ref: (1, nz, nz, L);  g/lb/ub/z: (1, nz, L).
     warm: two extra (1, nz, L) inputs carry the previous tick's duals
     (zl0, zu0); the primal starts at 0 pushed into the box instead of the
     midpoint (the RTI update re-centres the QP at z = 0, see `ops/qp.py`).
     The post-solve duals are always written to the two dual output refs.
     """
     if warm:
-        zl0_ref, zu0_ref, z_ref, zlo_ref, zuo_ref, L_ref = refs
+        zl0_ref, zu0_ref, z_ref, zlo_ref, zuo_ref = refs
     else:
-        z_ref, zlo_ref, zuo_ref, L_ref = refs
+        z_ref, zlo_ref, zuo_ref = refs
     dtype = H_ref.dtype
     H = H_ref[0]                    # (nz, nz, L)
     g = g_ref[0]                    # (nz, L)
@@ -100,8 +100,15 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
 
         Hz = jnp.sum(H * z[None, :, :], axis=1)                    # (nz, L)
         r = Hz + g - zl + zu
-        d = zl / sl + zu / su
-        rhs = -r + (mu - sl * zl) / sl - (mu - su * zu) / su
+        # one reciprocal per slack, multiplied everywhere after: VPU divides
+        # are many-pass ops, ~an order costlier than FMAs — this cuts the
+        # iteration's (nz, L) divides from 6 to 2 (bounded reassociation,
+        # both Pallas pipelines changed in lockstep so fused == tiled stays
+        # bitwise; tests/test_pipeline_equivalence.py)
+        sl_inv = 1.0 / sl
+        su_inv = 1.0 / su
+        d = zl * sl_inv + zu * su_inv
+        rhs = -r + (mu - sl * zl) * sl_inv - (mu - su * zu) * su_inv
 
         # ---- panel-blocked right-looking Cholesky of M = H + diag(d) ----
         # "Shrinking" formulation (round-3 roofline work): R holds only the
@@ -131,11 +138,15 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
                 colA = P[:, jj, :]                 # (hh, L); diagonal at row jj
                 for kk in range(jj):               # left-looking within panel
                     colA = colA - pcols[kk] * pcols[kk][jj][None, :]
-                diag = jnp.sqrt(jnp.maximum(colA[jj], 1e-12))      # (L,)
-                col = jnp.where(i2h > jj, colA / diag[None, :],
-                                jnp.where(i2h == jj, diag[None, :], 0.0))
+                # rsqrt + multiplies instead of sqrt + an (hh, L) divide —
+                # the column scale and both substitutions reuse the
+                # reciprocal diagonal (diag itself = colA[jj] * dinv)
+                dinv = jax.lax.rsqrt(jnp.maximum(colA[jj], 1e-12))  # (L,)
+                col = jnp.where(i2h > jj, colA * dinv[None, :],
+                                jnp.where(i2h == jj,
+                                          (colA[jj] * dinv)[None, :], 0.0))
                 pcols.append(col)
-                diags.append(diag)
+                diags.append(dinv)
                 cols.append(col if c0 == 0 else jnp.concatenate(
                     [jnp.zeros((c0, LANE_TILE), dtype), col], axis=0))
             if t + 1 < n_panels:
@@ -145,23 +156,24 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
                     Rrest = Rrest - cp[:, None, :] * cp[None, :, :]
                 R = Rrest
 
-        # ---- forward substitution: L y = rhs  (unrolled, column values) ----
+        # ---- forward substitution: L y = rhs  (unrolled, column values;
+        # diags[] holds the RECIPROCAL diagonals) ----
         acc = jnp.zeros((nz, LANE_TILE), dtype)
         ys = []
         for j in range(nz):
-            yj = (rhs[j] - acc[j]) / diags[j]      # (L,)
+            yj = (rhs[j] - acc[j]) * diags[j]      # (L,)
             ys.append(yj)
             acc = acc + cols[j] * yj[None, :]
         # ---- back substitution: L^T dz = y ----
         dz = jnp.zeros((nz, LANE_TILE), dtype)
         for j in range(nz - 1, -1, -1):
             dot = jnp.sum(jnp.where(i2 > j, cols[j] * dz, 0.0), axis=0)
-            dzj = (ys[j] - dot) / diags[j]
+            dzj = (ys[j] - dot) * diags[j]
             dz = jnp.where(i2 == j, dzj[None, :], dz)
 
         # ---- dual steps + fraction-to-the-boundary ----
-        dzl = (mu - sl * zl - zl * dz) / sl
-        dzu = (mu - su * zu + zu * dz) / su
+        dzl = (mu - sl * zl - zl * dz) * sl_inv
+        dzu = (mu - su * zu + zu * dz) * su_inv
 
         def max_step(v, dv):
             ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
@@ -218,7 +230,6 @@ def solve_box_qp_pdip_pallas_tiled(Ht: jnp.ndarray, gt: jnp.ndarray,
         ] + [vec_spec] * (len(inputs) - 1),
         out_specs=(vec_spec, vec_spec, vec_spec),
         out_shape=(vec_shape, vec_shape, vec_shape),
-        scratch_shapes=[pltpu.VMEM((nz, nz, LANE_TILE), Ht.dtype)],
         interpret=interpret,
     )(*inputs)
     if return_duals:

@@ -65,7 +65,14 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     warm: two extra (1, nz, L) inputs carry the previous tick's IPM duals.
     Outputs: z (1, nz, L), dX (1, N+1, nx, L), kkt (1, 1, L),
     zl/zu (1, nz, L) post-solve duals (the cross-tick warm-start state).
-    Scratch: M_all (N+1, nx, nz, L), d_all (N+1, nx, L).
+    Scratch: J_all (N, NT, nx, L) stage tangents, r_all (N, nx, L) defects —
+    pass 2 re-derives dX by the forward recurrence dX_{k+1} = A_k dX_k +
+    B_k z_k + r_k instead of materializing the (N+1, nx, nz, L) condensing
+    map M (2.9 MB/tile written + read; the recurrence is algebraically
+    identical — M_{k+1} z = A_k (M_k z) + B_k z_k — at 40% of the scratch
+    traffic and fewer FLOPs; dU is untouched, dX differs from the d + Mz
+    form only by f32 reassociation, bounded in
+    tests/test_pipeline_equivalence.py).
     """
     nx, nu = NX, NU
     nz = N * nu
@@ -80,7 +87,7 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     if warm:
         zl0_ref, zu0_ref = refs[:2]
         refs = refs[2:]
-    z_out, Xd_out, kkt_out, zlo_ref, zuo_ref, M_all, d_all = refs
+    z_out, Xd_out, kkt_out, zlo_ref, zuo_ref, J_all, r_all = refs
     dtype = X_ref.dtype
 
     def step(x, u):
@@ -113,8 +120,6 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     lw_acc = 0                                           # current width of H/g
     M = jnp.zeros((nx, nz, L), dtype)
     d = dx0_ref[0]
-    M_all[0] = M
-    d_all[0] = d
 
     def grow(H, g, lw_old, lw_new):
         """Zero-pad the live H/g block from width lw_old to lw_new."""
@@ -145,6 +150,8 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
         Jfull = jax.vmap(f_lin)(tx_all, tu_all)          # (17, nx, L)
         Jk = [Jfull[i] for i in range(NT)]               # columns of [A_k|B_k]
         r_k = xp - X_ref[0, k + 1]
+        J_all[k] = Jfull                                 # for the pass-2 dX
+        r_all[k] = r_k                                   # recurrence
 
         lw = k * nu                                      # live width of M_k
         if k > 0:  # stage-k cost term (M_0 = 0 contributes nothing)
@@ -166,8 +173,6 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
         if nz - (k + 1) * nu > 0:
             pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
         M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
-        M_all[k + 1] = M
-        d_all[k + 1] = d
 
     H, g = grow(H, g, lw_acc, nz)                        # full width for the
     H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)     # terminal (weight p)
@@ -219,8 +224,12 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
 
         Hz = jnp.sum(H * z[None, :, :], axis=1)
         r = Hz + g - zl + zu
-        dd = zl / sl + zu / su
-        rhs = -r + (mu - sl * zl) / sl - (mu - su * zu) / su
+        # reciprocal slacks once, multiplied everywhere (see qp_kernel; the
+        # two bodies change in lockstep to keep fused == tiled bitwise)
+        sl_inv = 1.0 / sl
+        su_inv = 1.0 / su
+        dd = zl * sl_inv + zu * su_inv
+        rhs = -r + (mu - sl * zl) * sl_inv - (mu - su * zu) * su_inv
 
         # panel-blocked right-looking Cholesky of M = H + diag(dd) —
         # shrinking formulation, identical body to qp_kernel._qp_kernel
@@ -243,11 +252,12 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
                 colA = P[:, jj, :]
                 for kk in range(jj):
                     colA = colA - pcols[kk] * pcols[kk][jj][None, :]
-                diag = jnp.sqrt(jnp.maximum(colA[jj], 1e-12))
-                col = jnp.where(i2h > jj, colA / diag[None, :],
-                                jnp.where(i2h == jj, diag[None, :], 0.0))
+                dinv = jax.lax.rsqrt(jnp.maximum(colA[jj], 1e-12))
+                col = jnp.where(i2h > jj, colA * dinv[None, :],
+                                jnp.where(i2h == jj,
+                                          (colA[jj] * dinv)[None, :], 0.0))
                 pcols.append(col)
-                diags.append(diag)
+                diags.append(dinv)
                 cols.append(col if c0 == 0 else jnp.concatenate(
                     [jnp.zeros((c0, L), dtype), col], axis=0))
             if t + 1 < n_panels:
@@ -257,22 +267,22 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
                     Rrest = Rrest - cp[:, None, :] * cp[None, :, :]
                 R = Rrest
 
-        # forward substitution: L y = rhs
+        # forward substitution: L y = rhs  (diags[] = reciprocal diagonals)
         acc = jnp.zeros((nz, L), dtype)
         ys = []
         for j in range(nz):
-            yj = (rhs[j] - acc[j]) / diags[j]
+            yj = (rhs[j] - acc[j]) * diags[j]
             ys.append(yj)
             acc = acc + cols[j] * yj[None, :]
         # back substitution: L^T dz = y
         dz = jnp.zeros((nz, L), dtype)
         for j in range(nz - 1, -1, -1):
             dot = jnp.sum(jnp.where(i2 > j, cols[j] * dz, 0.0), axis=0)
-            dzj = (ys[j] - dot) / diags[j]
+            dzj = (ys[j] - dot) * diags[j]
             dz = jnp.where(i2 == j, dzj[None, :], dz)
 
-        dzl = (mu - sl * zl - zl * dz) / sl
-        dzu = (mu - su * zu + zu * dz) / su
+        dzl = (mu - sl * zl - zl * dz) * sl_inv
+        dzu = (mu - su * zu + zu * dz) * su_inv
 
         def max_step(v, dv):
             ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
@@ -304,9 +314,19 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     proj = jnp.clip(z - (Hz0 + g0), lb0, ub0) - z
     kkt_out[0, 0] = jnp.max(jnp.abs(proj), axis=0)
 
-    # ---- pass 2: dX_k = d_k + M_k z ----
-    for k in range(N + 1):
-        Xd_out[0, k] = d_all[k] + jnp.sum(M_all[k] * z[None, :, :], axis=1)
+    # ---- pass 2: dX by forward recurrence (== d_k + M_k z algebraically:
+    # M_{k+1} z = A_k (M_k z) + B_k z_k, d's recurrence shares A_k) ----
+    dXk = dx0_ref[0]
+    Xd_out[0, 0] = dXk
+    for k in range(N):
+        Jk = J_all[k]                                    # (NT, nx, L)
+        dXn = r_all[k]
+        for j in range(nx):
+            dXn = dXn + Jk[j] * dXk[j][None, :]
+        for a in range(nu):
+            dXn = dXn + Jk[nx + a] * z[k * nu + a][None, :]
+        Xd_out[0, k + 1] = dXn
+        dXk = dXn
 
 
 @functools.partial(jax.jit, static_argnames=("f", "dt", "q", "p", "rw",
@@ -365,8 +385,8 @@ def _call(Xt, Ut, dx0t, ex0t, gut, lbt, ubt, aug_leaves, duals, f, dt, q, p,
             zvec,
         ),
         scratch_shapes=[
-            pltpu.VMEM((N + 1, nx, nz, L), dtype),
-            pltpu.VMEM((N + 1, nx, L), dtype),
+            pltpu.VMEM((N, NT, nx, L), dtype),           # stage tangents
+            pltpu.VMEM((N, nx, L), dtype),               # stage defects
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100 * 1024 * 1024)

@@ -4,6 +4,21 @@ exact and multi-chip sharding tests run without TPU hardware (SURVEY §4)."""
 
 import os
 
+# XLA:CPU compiles the big unrolled Pallas-interpret programs with deeply
+# recursive passes; with the default 8 MB stack the suite intermittently
+# segfaults inside backend_compile (observed at different tests across
+# runs — whichever big kernel compile lands on a tight stack).  Raise the
+# soft limit BEFORE jax starts its compile threads: pthread stacks inherit
+# RLIMIT_STACK at creation, and the main stack grows up to the limit at
+# fault time.
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 1024 * 1024
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (new, _hard))
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

@@ -155,13 +155,16 @@ def closed_loop(B: int = 1024, v: float = 8.0, t_max: float = 10.0) -> dict:
 
 def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
     """Backend crossover sweep: device time per solve as the horizon N grows
-    (fixed 0.1 s node spacing, B scenarios), for THREE paths:
+    (fixed 0.1 s node spacing, B scenarios), for FOUR paths:
 
     - `fused`: the production `solve_batch` Pallas pipeline (condensed IPM,
       VMEM-resident H of nz=4N — compiles only while the tile fits VMEM;
       reported None where it does not)
     - `pdip`: the generic vmapped-XLA condensed IPM (`solver.solve`)
-    - `riccati`: the Riccati-factorized IPM (O(N) per iteration)
+    - `riccati`: the vmapped XLA-scan Riccati-factorized IPM (O(N)/iter)
+    - `riccati_pallas`: the lanes-batched Pallas Riccati-IPM kernel through
+      `solve_batch(qp_method="riccati")` — O(N) VMEM, the long-horizon
+      production path
 
     Condensing is O(N^2) memory / O(N^3 nu^3) factorization; Riccati is
     O(N) — this measures where the sparse form wins on the actual hardware
@@ -211,6 +214,18 @@ def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
                           )(c, x0, y_ref)))
             row[f"{method}_us_per_solve"] = dt / B * 1e6
 
+        # the batched Pallas Riccati-IPM path (lanes-batched sparse backend,
+        # `ops/pallas/riccati_kernel.py`) through the production solve_batch
+        # dispatch — O(N) VMEM, so it keeps scaling where fused OOMs
+        try:
+            solver, carry, x0, y_ref = setup("riccati")
+            dt = timed(lambda c: (lambda c2, sol: (c2, sol.cost.sum()))(
+                *solver.solve_batch(c, x0, y_ref, y_ref[:, -1])))
+            row["riccati_pallas_us_per_solve"] = dt / B * 1e6
+        except Exception as e:
+            row["riccati_pallas_us_per_solve"] = None
+            row["riccati_pallas_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
         # the production fused pipeline (B=256 is lane-tiled); H tile is
         # (4N, 4N, 128) f32 in VMEM — guard with a compile attempt
         try:
@@ -218,9 +233,11 @@ def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
             dt = timed(lambda c: (lambda c2, sol: (c2, sol.cost.sum()))(
                 *solver.solve_batch(c, x0, y_ref, y_ref[:, -1])))
             row["fused_us_per_solve"] = dt / B * 1e6
-        except Exception as e:  # VMEM OOM at large N
+        except Exception as e:  # expected: VMEM OOM at large N — but keep
+            # enough of the message that a genuine bug (shape/type error)
+            # is distinguishable from resource exhaustion in the table
             row["fused_us_per_solve"] = None
-            row["fused_error"] = type(e).__name__
+            row["fused_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
         row["riccati_speedup_vs_pdip"] = (row["pdip_us_per_solve"]
                                           / row["riccati_us_per_solve"])

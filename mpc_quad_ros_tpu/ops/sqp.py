@@ -327,13 +327,21 @@ class SQPSolver:
             A, B, r, q, q_lin, rw, r_lin, p_term_diag, p_term, dx0=dx0,
             u_lb=cfg.u_lb - U, u_ub=cfg.u_ub - U, iters=cfg.qp_iters,
         )
+        return self._riccati_finish(U, x0, y_ref, y_ref_N, aug, dU)
 
-        # Globalization: on long horizons a full Newton step from a stale
-        # linearization diverges (the LQR forward pass extrapolates far
-        # outside the linearization's validity).  Backtracking line search on
-        # the TRUE nonlinear-rollout cost, with the accepted trajectory taken
-        # from the nonlinear rollout (keeps the next linearization
-        # consistent).  Fixed candidate set -> vmap/scan friendly.
+    # ------------------------------------------------------------------ #
+    def _riccati_finish(self, U, x0, y_ref, y_ref_N, aug, dU):
+        """Globalization + honest KKT shared by the per-scenario and the
+        batched (Pallas) Riccati backends.
+
+        On long horizons a full Newton step from a stale linearization
+        diverges (the LQR forward pass extrapolates far outside the
+        linearization's validity).  Backtracking line search on the TRUE
+        nonlinear-rollout cost, with the accepted trajectory taken from the
+        nonlinear rollout (keeps the next linearization consistent).  Fixed
+        candidate set -> vmap/scan friendly."""
+        cfg = self.cfg
+        dtype = U.dtype
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1], dtype=dtype)
 
         def rollout(U_c):
@@ -620,6 +628,88 @@ class SQPSolver:
         kkt = untile(kkt_t)[:, 0]
         return X_new, U_new, zl, zu, kkt
 
+    def _gn_step_batch_riccati(self, X, U, x0, y_ref, y_ref_N, aug):
+        """Batched long-horizon Gauss-Newton step: Pallas lin kernel ->
+        lanes-batched Riccati-IPM kernel (`ops/pallas/riccati_kernel.py`) ->
+        per-scenario line search on the true rollout cost
+        (`_riccati_finish`).  O(N) compute/memory in the horizon — no
+        (N*nu)^2 condensed Hessian tile, so it scales to horizons where the
+        fused condensed kernel exhausts VMEM (`bench.suite --what
+        riccati_crossover` for the measured crossover).  Requires
+        B % 128 == 0 (`solve_batch` pads)."""
+        from ..models.augmented import FoldedDrag
+        from .pallas.riccati_kernel import solve_ocp_box_riccati_ipm_pallas_tiled
+
+        cfg = self.cfg
+        N = cfg.n_nodes
+        B = X.shape[0]
+        nu = U.shape[-1]
+        ntb = B // 128
+        dtype = X.dtype
+        interp = jax.default_backend() != "tpu"
+
+        if self._lin_pallas is None:
+            from .pallas.lin_kernel import make_linearizer_pallas
+
+            self._lin_pallas = make_linearizer_pallas(self.f.params, cfg.dt)
+
+        # n-major flatten (column = n*B + b), exactly as the tiled condensed
+        # pipeline — the lin kernel's tangent tiles ARE the [A|B] columns the
+        # Riccati kernel contracts over (zero repacking)
+        Xl = X[:, :-1].transpose(1, 0, 2).reshape(N * B, 13)
+        Ul = U.transpose(1, 0, 2).reshape(N * B, nu)
+        aug_cols = None
+        if aug is not None:
+            def cols(a):
+                a = jnp.moveaxis(a, 0, -1)                       # (..., B)
+                base = a.shape[:-1]
+                a = jnp.broadcast_to(a[..., None, :], base + (N, B))
+                return a.reshape(base + (N * B,))
+
+            aug_cols = FoldedDrag(*(cols(leaf) for leaf in aug))
+
+        xp_t, J_t = self._lin_pallas(Xl, Ul, aug_cols, interpret=interp,
+                                     tiled_out=True)
+        J_t = J_t.reshape(N, ntb, 17, 13, 128).transpose(1, 0, 2, 3, 4)
+        xp_t = xp_t.reshape(N, ntb, 13, 128).transpose(1, 0, 2, 3)
+
+        def tile(a):
+            a = a.reshape((ntb, 128) + a.shape[1:])
+            return jnp.moveaxis(a, 1, -1)
+
+        def untile(at):
+            return jnp.moveaxis(at, -1, 1).reshape((B,) + at.shape[1:-1])
+
+        X_t = tile(X)
+        c_t = xp_t - X_t[:, 1:]                                  # defects
+        dx0_t = tile(x0 - X[:, 0])
+
+        q_s, q_term, rw_s = cfg.weight_tuples()
+        qv = jnp.asarray(q_s, dtype)
+        rv = jnp.asarray(rw_s, dtype)
+        pv = jnp.asarray(q_term, dtype)
+        qlin_t = tile(qv[None, None, :] * (X[:, :-1] - y_ref))
+        rlin_t = tile(rv[None, None, :] * (U - cfg.u_ref))
+        plin_t = tile(pv[None, :] * (X[:, -1] - y_ref_N))
+        lb_t = tile(cfg.u_lb - U)
+        ub_t = tile(cfg.u_ub - U)
+
+        dUt, _ = solve_ocp_box_riccati_ipm_pallas_tiled(
+            J_t, c_t, dx0_t, qlin_t, rlin_t, plin_t, lb_t, ub_t,
+            q=q_s, p_term=q_term, rdiag=rw_s, nu=nu, iters=cfg.qp_iters,
+            interpret=interp)
+        dU = untile(dUt)
+
+        if aug is None:
+            return jax.vmap(
+                lambda U1, x01, yr, yrN, dU1: self._riccati_finish(
+                    U1, x01, yr, yrN, None, dU1)
+            )(U, x0, y_ref, y_ref_N, dU)
+        return jax.vmap(
+            lambda U1, x01, yr, yrN, a1, dU1: self._riccati_finish(
+                U1, x01, yr, yrN, a1, dU1)
+        )(U, x0, y_ref, y_ref_N, aug, dU)
+
     def solve_batch(self, carry: SolverCarry, x0: jnp.ndarray, y_ref: jnp.ndarray,
                     y_ref_N: jnp.ndarray, aug=None) -> tuple[SolverCarry, MPCSolution]:
         """Batch-major solve: all leading dims are the scenario batch B.
@@ -670,6 +760,23 @@ class SQPSolver:
 
         def one_iter(carry_xu, _):
             X, U, zl, zu = carry_xu
+            if cfg.qp_method == "riccati":
+                # long-horizon sparse backend: lanes-batched Riccati IPM
+                # (Pallas) when the tiled pipeline conditions hold, vmapped
+                # XLA-scan Riccati otherwise; IPM duals are not carried (the
+                # Riccati path re-derives them per solve)
+                if tiled:
+                    Xn, Un, kkt = self._gn_step_batch_riccati(
+                        X, U, x0, y_ref, y_ref_N, aug)
+                elif aug is None:
+                    Xn, Un, kkt = _jax.vmap(
+                        lambda X1, U1, x01, yr, yrN: self._gn_step_riccati(
+                            X1, U1, x01, yr, yrN, None)
+                    )(X, U, x0, y_ref, y_ref_N)
+                else:
+                    Xn, Un, kkt = _jax.vmap(self._gn_step_riccati)(
+                        X, U, x0, y_ref, y_ref_N, aug)
+                return (Xn, Un, zl, zu), kkt
             if tiled:
                 step = (self._gn_step_batch_fused if cfg.pipeline == "fused"
                         else self._gn_step_batch_tiled)

@@ -364,18 +364,22 @@ def executed_vpu_flops(N=10, nx=13, nu=4, nt=17, qp_iters=12,
     ipm1 += 2 * nz * nz                    # A = H + eye*dd
     n_panels = (nz + panel - 1) // panel
     chol = 0
+    subst = 0
     for t in range(n_panels):
         c0 = t * panel
         pw = min(panel, nz - c0)
         hh = nz - c0
         for jj in range(pw):
             chol += 2 * jj * hh            # left-looking column updates
-            chol += 1 + hh                 # sqrt + column divide
+            chol += 1 + hh                 # rsqrt + column scale
         if t + 1 < n_panels:
             chol += 2 * pw * (hh - pw) ** 2  # shrinking trailing update
+        # panel-live substitutions (mirror the kernel loops):
+        subst += pw * (1 + 2 * hh)         # fwd: yj scale + live-res update
+        subst += pw * 2 * (hh - pw)        # back: below-panel tail dots
+        subst += pw * pw + 2 * pw          # back: within-panel recurrence
     ipm1 += chol
-    ipm1 += nz * (2 + 2 * nz)              # fwd subst (full-height acc FMA)
-    ipm1 += nz * (2 * nz + 2)              # back subst (masked full column)
+    ipm1 += subst
     ipm1 += 10 * nz                        # dzl/dzu
     ipm1 += 12 * nz + 10 * nz              # fraction-to-boundary + updates
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -244,6 +245,9 @@ def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
         if row["fused_us_per_solve"]:
             row["riccati_speedup_vs_fused"] = (row["fused_us_per_solve"]
                                                / row["riccati_us_per_solve"])
+        # stream each row as it lands: the N=80+ vmapped-XLA compiles take
+        # tens of minutes — a timeout must not lose the completed rows
+        print(json.dumps(row), file=sys.stderr, flush=True)
         out.append(row)
     return out
 

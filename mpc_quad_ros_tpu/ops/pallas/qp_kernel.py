@@ -55,7 +55,6 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
     ub = ub_ref[0]
 
     # index grids
-    i2 = jax.lax.broadcasted_iota(jnp.int32, (nz, LANE_TILE), 0)          # row idx
     r3 = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, LANE_TILE), 0)      # dim-0 idx
     k3 = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, LANE_TILE), 1)      # dim-1 idx
 
@@ -69,10 +68,6 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
     lb = lb / s
     ub = ub / s
     width = ub - lb
-
-    def row_of(mat2, j):
-        """(nz, L), scalar j -> (L,): masked row extraction."""
-        return jnp.sum(jnp.where(i2 == j, mat2, 0.0), axis=0)
 
     if warm:
         # duals live in the scaled system as zl' = zl * s (stationarity
@@ -124,8 +119,8 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
         # sum order changes).
         eye = jnp.where(r3 == k3, 1.0, 0.0).astype(dtype)
         A = H + eye * d[:, None, :]
-        cols = []                                  # full-height (nz, L) columns
-        diags = []                                 # L[j, j], each (L,)
+        panel_data = []                            # (c0, pw, live pcols)
+        diags = []                                 # 1/L[j, j], each (L,)
         R = A
         for t in range(n_panels):
             c0 = t * PANEL
@@ -147,8 +142,7 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
                                           (colA[jj] * dinv)[None, :], 0.0))
                 pcols.append(col)
                 diags.append(dinv)
-                cols.append(col if c0 == 0 else jnp.concatenate(
-                    [jnp.zeros((c0, LANE_TILE), dtype), col], axis=0))
+            panel_data.append((c0, pw, pcols))
             if t + 1 < n_panels:
                 Rrest = R[pw:, pw:, :]             # (hh-pw, hh-pw, L)
                 for pp in range(pw):
@@ -156,20 +150,40 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
                     Rrest = Rrest - cp[:, None, :] * cp[None, :, :]
                 R = Rrest
 
-        # ---- forward substitution: L y = rhs  (unrolled, column values;
-        # diags[] holds the RECIPROCAL diagonals) ----
-        acc = jnp.zeros((nz, LANE_TILE), dtype)
+        # ---- forward substitution: L y = rhs, panel-live: the residual
+        # shrinks with the live columns (solved rows are dropped), so no
+        # full-height zero-padded columns and no masked sweeps exist at all
+        # (~40% of the substitution FLOPs of the full-height form) ----
         ys = []
-        for j in range(nz):
-            yj = (rhs[j] - acc[j]) * diags[j]      # (L,)
-            ys.append(yj)
-            acc = acc + cols[j] * yj[None, :]
-        # ---- back substitution: L^T dz = y ----
-        dz = jnp.zeros((nz, LANE_TILE), dtype)
-        for j in range(nz - 1, -1, -1):
-            dot = jnp.sum(jnp.where(i2 > j, cols[j] * dz, 0.0), axis=0)
-            dzj = (ys[j] - dot) * diags[j]
-            dz = jnp.where(i2 == j, dzj[None, :], dz)
+        res = rhs                                  # height nz - c0 at panel t
+        for (c0, pw, pcols) in panel_data:
+            for jj in range(pw):
+                yj = res[jj] * diags[c0 + jj]      # (L,)
+                ys.append(yj)
+                res = res - pcols[jj] * yj[None, :]
+            if res.shape[0] > pw:
+                res = res[pw:]
+        # ---- back substitution: L^T dz = y, reverse panel order; each
+        # column's below-panel tail dots the already-solved dz block, the
+        # within-panel part is a short scalar-row recurrence ----
+        dz_tail = None                             # solved rows below panel
+        for (c0, pw, pcols) in reversed(panel_data):
+            tails = []
+            for jj in range(pw):
+                if dz_tail is None:
+                    tails.append(jnp.zeros((LANE_TILE,), dtype))
+                else:
+                    tails.append(jnp.sum(pcols[jj][pw:] * dz_tail, axis=0))
+            rows = [None] * pw
+            for jj in range(pw - 1, -1, -1):
+                dot = tails[jj]
+                for kk in range(jj + 1, pw):
+                    dot = dot + pcols[jj][kk] * rows[kk]
+                rows[jj] = (ys[c0 + jj] - dot) * diags[c0 + jj]
+            panel_dz = jnp.stack(rows, axis=0)     # (pw, L)
+            dz_tail = panel_dz if dz_tail is None else jnp.concatenate(
+                [panel_dz, dz_tail], axis=0)
+        dz = dz_tail                               # (nz, L)
 
         # ---- dual steps + fraction-to-the-boundary ----
         dzl = (mu - sl * zl - zl * dz) * sl_inv

@@ -7,8 +7,10 @@ Hessians (the structure HPIPM itself exploits inside acados; reference
 `/root/reference/src/quad_opt.py:147-151`).  The condensed fused kernel
 (`sqp_fused_kernel.py`) carries a dense (N*nu, N*nu, 128) Hessian tile in
 VMEM and pays O((N*nu)^3/3) per IPM factorization — both explode with the
-horizon (VMEM OOM near N~28 on v5e, measured in `bench.suite
---what riccati_crossover`).  This kernel keeps the OCP sparse: per 128-lane
+horizon (measured: 21.6 us/solve at N=40, VMEM-OOM compile failure by N=80
+on v5e; `bench.suite --what riccati_crossover`,
+outputs/roofline/CROSSOVER_r04.json).  This kernel keeps the OCP sparse:
+per 128-lane
 scenario tile it stores only the per-stage sensitivities (N, 17, nx, L) and
 runs `iters` IPM iterations, each one Riccati sweep — O(N (nx+nu)^3) compute
 and O(N) memory in the horizon.

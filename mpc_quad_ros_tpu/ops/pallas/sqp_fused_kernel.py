@@ -188,7 +188,6 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     H0, g0 = H, g                                        # unscaled, for the KKT
 
     # ---- interior-point box QP (same body as qp_kernel._qp_kernel) ----
-    i2 = jax.lax.broadcasted_iota(jnp.int32, (nz, L), 0)
     r3, k3 = ci, cj
 
     dH = jnp.sum(jnp.where(r3 == k3, H, 0.0), axis=1)    # (nz, L)
@@ -238,7 +237,7 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
         # tests/test_pipeline_equivalence.py)
         eye = jnp.where(r3 == k3, 1.0, 0.0).astype(dtype)
         A = H + eye * dd[:, None, :]
-        cols = []
+        panel_data = []
         diags = []
         R = A
         for t in range(n_panels):
@@ -258,8 +257,7 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
                                           (colA[jj] * dinv)[None, :], 0.0))
                 pcols.append(col)
                 diags.append(dinv)
-                cols.append(col if c0 == 0 else jnp.concatenate(
-                    [jnp.zeros((c0, L), dtype), col], axis=0))
+            panel_data.append((c0, pw, pcols))
             if t + 1 < n_panels:
                 Rrest = R[pw:, pw:, :]
                 for pp in range(pw):
@@ -267,19 +265,35 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
                     Rrest = Rrest - cp[:, None, :] * cp[None, :, :]
                 R = Rrest
 
-        # forward substitution: L y = rhs  (diags[] = reciprocal diagonals)
-        acc = jnp.zeros((nz, L), dtype)
+        # forward substitution: L y = rhs, panel-live (see qp_kernel)
         ys = []
-        for j in range(nz):
-            yj = (rhs[j] - acc[j]) * diags[j]
-            ys.append(yj)
-            acc = acc + cols[j] * yj[None, :]
-        # back substitution: L^T dz = y
-        dz = jnp.zeros((nz, L), dtype)
-        for j in range(nz - 1, -1, -1):
-            dot = jnp.sum(jnp.where(i2 > j, cols[j] * dz, 0.0), axis=0)
-            dzj = (ys[j] - dot) * diags[j]
-            dz = jnp.where(i2 == j, dzj[None, :], dz)
+        res = rhs
+        for (c0, pw, pcols) in panel_data:
+            for jj in range(pw):
+                yj = res[jj] * diags[c0 + jj]
+                ys.append(yj)
+                res = res - pcols[jj] * yj[None, :]
+            if res.shape[0] > pw:
+                res = res[pw:]
+        # back substitution: L^T dz = y, reverse panel order
+        dz_tail = None
+        for (c0, pw, pcols) in reversed(panel_data):
+            tails = []
+            for jj in range(pw):
+                if dz_tail is None:
+                    tails.append(jnp.zeros((L,), dtype))
+                else:
+                    tails.append(jnp.sum(pcols[jj][pw:] * dz_tail, axis=0))
+            rows = [None] * pw
+            for jj in range(pw - 1, -1, -1):
+                dot = tails[jj]
+                for kk in range(jj + 1, pw):
+                    dot = dot + pcols[jj][kk] * rows[kk]
+                rows[jj] = (ys[c0 + jj] - dot) * diags[c0 + jj]
+            panel_dz = jnp.stack(rows, axis=0)
+            dz_tail = panel_dz if dz_tail is None else jnp.concatenate(
+                [panel_dz, dz_tail], axis=0)
+        dz = dz_tail
 
         dzl = (mu - sl * zl - zl * dz) * sl_inv
         dzu = (mu - su * zu + zu * dz) * su_inv

@@ -23,9 +23,22 @@ Two entry points:
 
 Cost per solve: `qp_iters` Riccati sweeps (vs the dense path's `qp_iters`
 O(nz^3/3) Cholesky factorizations) — O(N) scaling in the horizon retained.
-The round-2 crossover numbers (single clamped sweep vs dense) are obsolete;
-see `bench.suite --what riccati_crossover` for the re-measured
-backend-selection table at equal accuracy.
+Both forms exist batched: this XLA-scan module (any B, vmapped) and the
+lanes-batched Pallas kernel (`ops/pallas/riccati_kernel.py`, B%128==0,
+dispatched by `solve_batch(qp_method="riccati")`).
+
+Measured backend crossover (TPU v5e-lite, B=256, 12 IPM iters,
+`bench.suite --what riccati_crossover`, outputs/roofline/CROSSOVER_r04.json):
+
+    N   fused-condensed   riccati-Pallas   (us/solve)
+    10       1.16             3.38
+    20       3.64             2.71   <- crossover ~N=16-20
+    40      21.6              5.61
+    80      VMEM OOM         11.6
+
+so: keep qp_method="pdip" (fused condensed) at the reference's N=10, switch
+to qp_method="riccati" from N~20 up; beyond N~40-80 the dense H tile stops
+fitting VMEM and the sparse path is the only Pallas path.
 
 Equations (standard time-varying LQR with affine terms):
     P_N = Q_N,  p_N = q_N

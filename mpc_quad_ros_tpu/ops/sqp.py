@@ -59,6 +59,10 @@ class MPCConfig(NamedTuple):
     sqp_iters: int = 1           # 1 == RTI; >1 == full SQP per tick
     qp_iters: int = 12
     qp_method: str = "pdip"      # "pdip" | "projected_newton" | "riccati"
+    # "pdip" (fused condensed Pallas pipeline) is fastest at the reference's
+    # N=10; "riccati" (lanes-batched Pallas Riccati IPM, O(N) VMEM) wins
+    # from N~20 and is the only Pallas path from N~80 (measured crossover:
+    # ops/riccati.py module docstring, outputs/roofline/CROSSOVER_r04.json)
     shift_warm_start: bool = False
     # False matches acados' default (plain primal warm start, what the
     # reference ran); True shifts the plan one stage per tick (standard RTI

@@ -40,6 +40,19 @@ import pytest
 REFERENCE_DATA = pathlib.Path("/root/reference/outputs")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU keeps every compiled executable of the session in memory;
+    after ~130 compiles the NEXT big compile (the interpret-mode fused
+    kernel at B=256) segfaults inside backend_compile — reproducibly at
+    test_pipeline_equivalence in full-suite runs while the same test passes
+    standalone or in any subset.  Dropping the compiled-program caches at
+    module boundaries caps the accumulation; cross-module recompiles are
+    the price."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def golden_gazebo_log():
     """A reference-recorded closed-loop run (current log format): used as the

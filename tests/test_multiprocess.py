@@ -65,10 +65,15 @@ def test_two_process_solve_matches_single_process(mp_results):
     solver, p, cfg, sol, _ = _oracle()
     U_ref = np.asarray(sol.U)
 
-    # shard-exact agreement: each process's local block equals the oracle's
-    # corresponding rows (same kernels, same scenarios; both CPU f32)
-    np.testing.assert_allclose(r0["U_local"], U_ref[: GLOBAL_B // 2], atol=1e-6)
-    np.testing.assert_allclose(r1["U_local"], U_ref[GLOBAL_B // 2:], atol=1e-6)
+    # shard agreement: each process's local block equals the oracle's
+    # corresponding rows (same kernels, same scenarios; both CPU f32).
+    # Not bitwise since the panel-live substitution sums lower
+    # context-dependently on XLA:CPU (plain jit vs shard_map) at a few
+    # ulps, which the deliberately unconverged qp_iters=2 IPM amplifies —
+    # measured 0.7% of elements at 2e-6.  1e-5 still pins row ROUTING
+    # (a swapped shard or stale scenario is O(1) off).
+    np.testing.assert_allclose(r0["U_local"], U_ref[: GLOBAL_B // 2], atol=1e-5)
+    np.testing.assert_allclose(r1["U_local"], U_ref[GLOBAL_B // 2:], atol=1e-5)
 
     # psum'd global reductions: both processes report the same global sums,
     # equal to the oracle's

@@ -130,8 +130,15 @@ def _lin_kernel(x_ref, u_ref, *refs, f, dt: float, with_aug: bool):
         J_ref[0, i] = jax.jvp(step, (x, u), (tx, tu))[1]
 
 
-@functools.partial(jax.jit, static_argnames=("f", "dt", "interpret", "tiled_out"))
-def _call(x, u, aug_leaves, f, dt, interpret, tiled_out=False):
+@functools.partial(jax.jit, static_argnames=("f", "dt", "interpret",
+                                             "tiled_out", "out_layout"))
+def _call(x, u, aug_leaves, f, dt, interpret, tiled_out=False,
+          out_layout=None):
+    """out_layout=(N, ntb): inputs are n-major flattened (column = n*B + b,
+    tile t = n*ntb + tb) and the OUTPUT tiles are written scenario-major
+    (position tb*N + n) directly by the BlockSpec index map — the
+    regrouping the downstream scenario-tiled kernels need, for free instead
+    of an HBM transpose copy.  Requires tiled_out=True."""
     M = x.shape[0]
     dtype = x.dtype
     with_aug = aug_leaves is not None
@@ -172,11 +179,28 @@ def _call(x, u, aug_leaves, f, dt, interpret, tiled_out=False):
         in_specs += [spec((3, nb, LANE_TILE)), spec((3, nb, LANE_TILE)),
                      spec((3, LANE_TILE)), spec((3, LANE_TILE))]
 
+    if out_layout is not None:
+        assert tiled_out, "out_layout only makes sense with tiled_out"
+        N_, ntb_ = out_layout
+        assert N_ * ntb_ == nt, (out_layout, nt)
+
+        def out_spec(shape):
+            nd = len(shape)
+            return pl.BlockSpec(
+                (1,) + shape,
+                lambda i: ((i % ntb_) * N_ + i // ntb_,) + (0,) * nd,
+                memory_space=pltpu.VMEM)
+
+        out_specs = (out_spec((NX, LANE_TILE)),
+                     out_spec((NT, NX, LANE_TILE)))
+    else:
+        out_specs = (spec((NX, LANE_TILE)), spec((NT, NX, LANE_TILE)))
+
     xp, J = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=(spec((NX, LANE_TILE)), spec((NT, NX, LANE_TILE))),
+        out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((nt, NX, LANE_TILE), dtype),
             jax.ShapeDtypeStruct((nt, NT, NX, LANE_TILE), dtype),
@@ -206,12 +230,14 @@ def make_linearizer_pallas(p, dt: float):
             builder_cache[nb] = _make_f(p, nb)
         return builder_cache[nb]
 
-    def linearize(X, U, aug_cols=None, interpret=False, tiled_out=False):
+    def linearize(X, U, aug_cols=None, interpret=False, tiled_out=False,
+                  out_layout=None):
         leaves = None
         nb = None
         if aug_cols is not None:
             leaves = (aug_cols.X, aug_cols.w, aug_cols.L, aug_cols.sigma_f)
             nb = leaves[0].shape[1]
-        return _call(X, U, leaves, f_for(nb), dt, interpret, tiled_out=tiled_out)
+        return _call(X, U, leaves, f_for(nb), dt, interpret,
+                     tiled_out=tiled_out, out_layout=out_layout)
 
     return linearize

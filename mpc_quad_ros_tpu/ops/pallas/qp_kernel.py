@@ -34,25 +34,25 @@ WS_GAMMA = 0.01   # warm-start primal interiority margin (fraction of width)
 WS_FLOOR = 1e-3   # warm-start dual floor (in the Jacobi-scaled system)
 
 
-def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
-               warm: bool):
-    """Solve LANE_TILE box-QPs: refs are lanes-last.
+def ipm_box_solve(H, g, lb, ub, zl0, zu0, *, nz: int, iters: int,
+                  warm: bool):
+    """The lanes-batched box-QP primal-dual IPM core, shared VERBATIM by the
+    three Pallas consumers (`_qp_kernel` here, the fully-fused and the
+    J-fed fused SQP kernels in `sqp_fused_kernel.py`) — one definition is
+    what keeps the pipelines bitwise-identical
+    (tests/test_pipeline_equivalence.py).
 
-    H_ref: (1, nz, nz, L);  g/lb/ub/z: (1, nz, L).
-    warm: two extra (1, nz, L) inputs carry the previous tick's duals
-    (zl0, zu0); the primal starts at 0 pushed into the box instead of the
-    midpoint (the RTI update re-centres the QP at z = 0, see `ops/qp.py`).
-    The post-solve duals are always written to the two dual output refs.
+    All operands lanes-last: H (nz, nz, L), vectors (nz, L).  Includes the
+    Jacobi scaling (s = diag(H)^-1/2), the cold/warm start, `iters` fixed
+    IPM iterations with the shrinking panel Cholesky + panel-live
+    substitutions, and the unscaling.  Returns (z, zl, zu) in the ORIGINAL
+    (unscaled) system.
+
+    warm: zl0/zu0 carry the previous tick's duals; the primal starts at 0
+    pushed into the box instead of the midpoint (the RTI update re-centres
+    the QP at z = 0, see `ops/qp.py`).
     """
-    if warm:
-        zl0_ref, zu0_ref, z_ref, zlo_ref, zuo_ref = refs
-    else:
-        z_ref, zlo_ref, zuo_ref = refs
-    dtype = H_ref.dtype
-    H = H_ref[0]                    # (nz, nz, L)
-    g = g_ref[0]                    # (nz, L)
-    lb = lb_ref[0]
-    ub = ub_ref[0]
+    dtype = H.dtype
 
     # index grids
     r3 = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, LANE_TILE), 0)      # dim-0 idx
@@ -75,8 +75,8 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
         # central-path boundary
         z = jnp.clip(jnp.zeros_like(g), lb + WS_GAMMA * width,
                      ub - WS_GAMMA * width)
-        zl = jnp.maximum(zl0_ref[0] * s, WS_FLOOR)
-        zu = jnp.maximum(zu0_ref[0] * s, WS_FLOOR)
+        zl = jnp.maximum(zl0 * s, WS_FLOOR)
+        zu = jnp.maximum(zu0 * s, WS_FLOOR)
     else:
         z = 0.5 * (lb + ub)
         zl = jnp.ones_like(z)
@@ -209,9 +209,28 @@ def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
         return (z, sl, su, zl, zu)
 
     z, sl, su, zl, zu = jax.lax.fori_loop(0, iters, ipm_iter, (z, sl, su, zl, zu))
-    z_ref[0] = jnp.clip(z, lb, ub) * s    # undo the Jacobi scaling
-    zlo_ref[0] = zl / s
-    zuo_ref[0] = zu / s
+    return jnp.clip(z, lb, ub) * s, zl / s, zu / s    # undo the Jacobi scaling
+
+
+def _qp_kernel(H_ref, g_ref, lb_ref, ub_ref, *refs, nz: int, iters: int,
+               warm: bool):
+    """Solve LANE_TILE box-QPs: refs are lanes-last.
+
+    H_ref: (1, nz, nz, L);  g/lb/ub/z: (1, nz, L).
+    warm: two extra (1, nz, L) inputs carry the previous tick's duals.
+    The post-solve duals are always written to the two dual output refs.
+    """
+    if warm:
+        zl0_ref, zu0_ref, z_ref, zlo_ref, zuo_ref = refs
+        zl0, zu0 = zl0_ref[0], zu0_ref[0]
+    else:
+        z_ref, zlo_ref, zuo_ref = refs
+        zl0 = zu0 = None
+    z, zl, zu = ipm_box_solve(H_ref[0], g_ref[0], lb_ref[0], ub_ref[0],
+                              zl0, zu0, nz=nz, iters=iters, warm=warm)
+    z_ref[0] = z
+    zlo_ref[0] = zl
+    zuo_ref[0] = zu
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret",

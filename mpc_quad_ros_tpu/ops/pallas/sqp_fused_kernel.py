@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lin_kernel import _make_f
+from .qp_kernel import ipm_box_solve
 
 LANE_TILE = 128
 NX, NU, NT = 13, 4, 17
@@ -187,140 +188,17 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     ub0 = ub_ref[0]
     H0, g0 = H, g                                        # unscaled, for the KKT
 
-    # ---- interior-point box QP (same body as qp_kernel._qp_kernel) ----
-    r3, k3 = ci, cj
-
-    dH = jnp.sum(jnp.where(r3 == k3, H, 0.0), axis=1)    # (nz, L)
-    s = jax.lax.rsqrt(jnp.maximum(dH, 1e-12))
-    H = H * s[:, None, :] * s[None, :, :]
-    g = g * s
-    lb = lb0 / s
-    ub = ub0 / s
-    width = ub - lb
-
+    # ---- interior-point box QP: the SHARED lanes-batched IPM core
+    # (qp_kernel.ipm_box_solve) — one definition across all Pallas
+    # pipelines is what keeps them bitwise-identical ----
     if warm:
-        # scaled-system duals: zl' = zl * s (see qp_kernel); primal starts at
-        # z = 0 (the RTI re-centring) pushed WS_GAMMA into the box
-        z = jnp.clip(jnp.zeros_like(g), lb + WS_GAMMA * width,
-                     ub - WS_GAMMA * width)
-        zl = jnp.maximum(zl0_ref[0] * s, WS_FLOOR)
-        zu = jnp.maximum(zu0_ref[0] * s, WS_FLOOR)
+        zl0, zu0 = zl0_ref[0], zu0_ref[0]
     else:
-        z = 0.5 * (lb + ub)
-        zl = jnp.ones_like(z)
-        zu = jnp.ones_like(z)
-    sl = z - lb
-    su = ub - z
-
-    PANEL = 8
-    n_panels = (nz + PANEL - 1) // PANEL
-
-    def ipm_iter(_, carry):
-        z, sl, su, zl, zu = carry
-
-        gap = (jnp.sum(sl * zl, axis=0) + jnp.sum(su * zu, axis=0)) / (2 * nz)
-        mu = (0.1 * gap)[None, :]
-
-        Hz = jnp.sum(H * z[None, :, :], axis=1)
-        r = Hz + g - zl + zu
-        # reciprocal slacks once, multiplied everywhere (see qp_kernel; the
-        # two bodies change in lockstep to keep fused == tiled bitwise)
-        sl_inv = 1.0 / sl
-        su_inv = 1.0 / su
-        dd = zl * sl_inv + zu * su_inv
-        rhs = -r + (mu - sl * zl) * sl_inv - (mu - su * zu) * su_inv
-
-        # panel-blocked right-looking Cholesky of M = H + diag(dd) —
-        # shrinking formulation, identical body to qp_kernel._qp_kernel
-        # (see the design/measurement note there; keeping the two bodies
-        # identical is what makes fused == tiled == split bitwise,
-        # tests/test_pipeline_equivalence.py)
-        eye = jnp.where(r3 == k3, 1.0, 0.0).astype(dtype)
-        A = H + eye * dd[:, None, :]
-        panel_data = []
-        diags = []
-        R = A
-        for t in range(n_panels):
-            c0 = t * PANEL
-            pw = min(PANEL, nz - c0)
-            hh = nz - c0
-            i2h = jax.lax.broadcasted_iota(jnp.int32, (hh, L), 0)
-            P = R[:, :pw, :]
-            pcols = []
-            for jj in range(pw):
-                colA = P[:, jj, :]
-                for kk in range(jj):
-                    colA = colA - pcols[kk] * pcols[kk][jj][None, :]
-                dinv = jax.lax.rsqrt(jnp.maximum(colA[jj], 1e-12))
-                col = jnp.where(i2h > jj, colA * dinv[None, :],
-                                jnp.where(i2h == jj,
-                                          (colA[jj] * dinv)[None, :], 0.0))
-                pcols.append(col)
-                diags.append(dinv)
-            panel_data.append((c0, pw, pcols))
-            if t + 1 < n_panels:
-                Rrest = R[pw:, pw:, :]
-                for pp in range(pw):
-                    cp = pcols[pp][pw:]
-                    Rrest = Rrest - cp[:, None, :] * cp[None, :, :]
-                R = Rrest
-
-        # forward substitution: L y = rhs, panel-live (see qp_kernel)
-        ys = []
-        res = rhs
-        for (c0, pw, pcols) in panel_data:
-            for jj in range(pw):
-                yj = res[jj] * diags[c0 + jj]
-                ys.append(yj)
-                res = res - pcols[jj] * yj[None, :]
-            if res.shape[0] > pw:
-                res = res[pw:]
-        # back substitution: L^T dz = y, reverse panel order
-        dz_tail = None
-        for (c0, pw, pcols) in reversed(panel_data):
-            tails = []
-            for jj in range(pw):
-                if dz_tail is None:
-                    tails.append(jnp.zeros((L,), dtype))
-                else:
-                    tails.append(jnp.sum(pcols[jj][pw:] * dz_tail, axis=0))
-            rows = [None] * pw
-            for jj in range(pw - 1, -1, -1):
-                dot = tails[jj]
-                for kk in range(jj + 1, pw):
-                    dot = dot + pcols[jj][kk] * rows[kk]
-                rows[jj] = (ys[c0 + jj] - dot) * diags[c0 + jj]
-            panel_dz = jnp.stack(rows, axis=0)
-            dz_tail = panel_dz if dz_tail is None else jnp.concatenate(
-                [panel_dz, dz_tail], axis=0)
-        dz = dz_tail
-
-        dzl = (mu - sl * zl - zl * dz) * sl_inv
-        dzu = (mu - su * zu + zu * dz) * su_inv
-
-        def max_step(v, dv):
-            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-            return jnp.minimum(1.0, 0.995 * jnp.min(ratio, axis=0))
-
-        alpha = jnp.minimum(
-            jnp.minimum(max_step(sl, dz), max_step(su, -dz)),
-            jnp.minimum(max_step(zl, dzl), max_step(zu, dzu)),
-        )[None, :]
-
-        z = z + alpha * dz
-        sl = z - lb
-        su = ub - z
-        eps = 1e-10 * jnp.maximum(width, 1.0)
-        sl = jnp.maximum(sl, eps)
-        su = jnp.maximum(su, eps)
-        zl = jnp.maximum(zl + alpha * dzl, 1e-12)
-        zu = jnp.maximum(zu + alpha * dzu, 1e-12)
-        return (z, sl, su, zl, zu)
-
-    z, sl, su, zl, zu = jax.lax.fori_loop(0, iters, ipm_iter, (z, sl, su, zl, zu))
-    zlo_ref[0] = zl / s                                  # unscaled duals out
-    zuo_ref[0] = zu / s
-    z = jnp.clip(z, lb, ub) * s                          # undo Jacobi scaling
+        zl0 = zu0 = None
+    z, zl_out, zu_out = ipm_box_solve(H, g, lb0, ub0, zl0, zu0,
+                                      nz=nz, iters=iters, warm=warm)
+    zlo_ref[0] = zl_out
+    zuo_ref[0] = zu_out
     z_out[0] = z
 
     # ---- KKT projected-gradient residual on the unscaled system ----
@@ -428,3 +306,177 @@ def make_fused_sqp_step(p, dt: float):
                      iters, interpret)
 
     return fused_step
+
+
+def _fused_from_J_kernel(J_ref, r_ref, dx0_ref, ex0_ref, gu_ref, lb_ref,
+                         ub_ref, *refs, N: int, q: tuple, p: tuple,
+                         rw: tuple, iters: int, warm: bool):
+    """The J-FED fused Gauss-Newton step: condensing + IPM box QP + KKT +
+    dX expansion in one kernel, consuming the lin kernel's raw tangent
+    tiles (J[0, k, c] is column c of [A_k | B_k]) and defects r.
+
+    Motivation (round-4 probe, outputs/roofline/ROOFLINE.md): running the
+    RK4 linearization INSIDE the all-in-one fused kernel costs ~7.4 ms at
+    B=16384 vs 2.08 ms for the standalone lin kernel — the condensing
+    state's VMEM/register pressure wrecks the lin phase's scheduling.  The
+    hybrid pipeline (lin kernel -> this kernel) pays one J round-trip
+    through HBM (~1.1 MB/tile) to keep both phases at their standalone
+    efficiency; H and the condensing map never leave VMEM/SSA.
+
+    J: (1, N, NT, nx, L); r: (1, N, nx, L); dx0: (1, nx, L);
+    ex0 = X - yref: (1, N+1, nx, L); gu/lb/ub: (1, nz, L);
+    warm: two extra (1, nz, L) dual inputs.
+    Outputs: z (1, nz, L), dX (1, N+1, nx, L), kkt (1, 1, L), zl/zu.
+    Condensing/IPM/expansion bodies are IDENTICAL to `_fused_kernel`
+    (live-width SSA condense, shared `ipm_box_solve`, forward-recurrence
+    expand) — bitwise equality pinned in tests/test_pipeline_equivalence.py.
+    """
+    nx, nu = NX, NU
+    nz = N * nu
+    L = LANE_TILE
+    refs = list(refs)
+    if warm:
+        zl0_ref, zu0_ref = refs[:2]
+        refs = refs[2:]
+    z_out, Xd_out, kkt_out, zlo_ref, zuo_ref = refs
+    dtype = J_ref.dtype
+
+    # ---- live-width condensing from J (same body as _fused_kernel) ----
+    H = None
+    g = None
+    lw_acc = 0
+    M = jnp.zeros((nx, nz, L), dtype)
+    d = dx0_ref[0]
+
+    def grow(H, g, lw_old, lw_new):
+        if H is None:
+            return (jnp.zeros((lw_new, lw_new, L), dtype),
+                    jnp.zeros((lw_new, L), dtype))
+        dw = lw_new - lw_old
+        if dw == 0:
+            return H, g
+        H = jnp.concatenate([H, jnp.zeros((dw, lw_old, L), dtype)], axis=0)
+        H = jnp.concatenate([H, jnp.zeros((lw_new, dw, L), dtype)], axis=1)
+        g = jnp.concatenate([g, jnp.zeros((dw, L), dtype)], axis=0)
+        return H, g
+
+    def accumulate(H, g, Mk_live, exk, w):
+        W = jnp.stack([w[i] * Mk_live[i] for i in range(nx)], axis=0)
+        for i in range(nx):
+            H = H + Mk_live[i][:, None, :] * W[i][None, :, :]
+            g = g + W[i] * exk[i][None, :]
+        return H, g
+
+    for k in range(N):
+        Jk = [J_ref[0, k, i] for i in range(NT)]
+        r_k = r_ref[0, k]
+
+        lw = k * nu
+        if k > 0:
+            H, g = grow(H, g, lw_acc, lw)
+            lw_acc = lw
+            H, g = accumulate(H, g, M[:, :lw, :], ex0_ref[0, k] + d, q)
+
+        d = sum(Jk[j] * d[j][None, :] for j in range(nx)) + r_k
+
+        pieces = []
+        if k > 0:
+            Mn = jnp.zeros((nx, lw, L), dtype)
+            for j in range(nx):
+                Mn = Mn + Jk[j][:, None, :] * M[j, :lw][None, :, :]
+            pieces.append(Mn)
+        pieces.append(jnp.stack([Jk[nx + j] for j in range(nu)], axis=1))
+        if nz - (k + 1) * nu > 0:
+            pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
+        M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+
+    H, g = grow(H, g, lw_acc, nz)
+    H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)
+
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 1)
+    for i in range(nu):
+        H = H + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
+    g = g + gu_ref[0]
+    lb0 = lb_ref[0]
+    ub0 = ub_ref[0]
+    H0, g0 = H, g
+
+    # ---- shared IPM core ----
+    if warm:
+        zl0, zu0 = zl0_ref[0], zu0_ref[0]
+    else:
+        zl0 = zu0 = None
+    z, zl_out, zu_out = ipm_box_solve(H, g, lb0, ub0, zl0, zu0,
+                                      nz=nz, iters=iters, warm=warm)
+    zlo_ref[0] = zl_out
+    zuo_ref[0] = zu_out
+    z_out[0] = z
+
+    # ---- KKT projected-gradient residual ----
+    Hz0 = jnp.sum(H0 * z[None, :, :], axis=1)
+    proj = jnp.clip(z - (Hz0 + g0), lb0, ub0) - z
+    kkt_out[0, 0] = jnp.max(jnp.abs(proj), axis=0)
+
+    # ---- dX forward recurrence ----
+    dXk = dx0_ref[0]
+    Xd_out[0, 0] = dXk
+    for k in range(N):
+        dXn = r_ref[0, k]
+        for j in range(nx):
+            dXn = dXn + J_ref[0, k, j] * dXk[j][None, :]
+        for a in range(nu):
+            dXn = dXn + J_ref[0, k, nx + a] * z[k * nu + a][None, :]
+        Xd_out[0, k + 1] = dXn
+        dXk = dXn
+
+
+@functools.partial(jax.jit, static_argnames=("q", "p", "rw", "iters",
+                                             "interpret"))
+def fused_sqp_from_J(Jt, rt, dx0t, ex0t, gut, lbt, ubt, duals, q, p, rw,
+                     iters, interpret=False):
+    """Tiled lanes-last entry for the J-fed fused step.  Jt: (nt, N, NT, nx,
+    L) tangent tiles from the lin kernel (scenario-major regrouped); rt:
+    (nt, N, nx, L) defects; the rest as in `_call`.  Returns (zt, Xdt, kkt,
+    zlt, zut)."""
+    nt, N, NTAN, nx, L = Jt.shape
+    nz = N * NU
+    dtype = Jt.dtype
+    warm = duals is not None
+
+    kernel = functools.partial(_fused_from_J_kernel, N=N, q=tuple(q),
+                               p=tuple(p), rw=tuple(rw), iters=iters,
+                               warm=warm)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec((N, NTAN, nx, L)), spec((N, nx, L)), spec((nx, L)),
+                spec((N + 1, nx, L)), spec((nz, L)), spec((nz, L)),
+                spec((nz, L))]
+    inputs = [Jt, rt, dx0t, ex0t, gut, lbt, ubt]
+    if warm:
+        inputs += [duals[0], duals[1]]
+        in_specs += [spec((nz, L)), spec((nz, L))]
+
+    zvec = jax.ShapeDtypeStruct((nt, nz, L), dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=(spec((nz, L)), spec((N + 1, nx, L)), spec((1, L)),
+                   spec((nz, L)), spec((nz, L))),
+        out_shape=(
+            zvec,
+            jax.ShapeDtypeStruct((nt, N + 1, nx, L), dtype),
+            jax.ShapeDtypeStruct((nt, 1, L), dtype),
+            zvec,
+            zvec,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(100 * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(*inputs)

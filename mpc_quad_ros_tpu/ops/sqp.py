@@ -72,12 +72,22 @@ class MPCConfig(NamedTuple):
     # interval: stage cost x dt, terminal cost unscaled.  Replaying reference
     # logs confirms it (mean |du| vs acados drops 0.024 -> 0.0015 with the
     # scaling on).  Set False for an unscaled discrete-sum cost.
-    pipeline: str = "fused"
-    # Batched-solve kernel strategy for B >= 128: "fused" runs the whole
-    # Gauss-Newton step (linearize + condense + IPM QP + expansion) as ONE
-    # Pallas kernel with zero HBM traffic between phases; "split" chains the
-    # three per-phase kernels (kept as the numerical cross-check and for
-    # dims where the fused kernel is not built).
+    pipeline: str = "hybrid"
+    # Batched-solve kernel strategy for B >= 128:
+    # - "hybrid" (default, fastest — 12.6 ms/16384 solves on v5e-lite): the
+    #   standalone lin kernel writes scenario-major tangent tiles which feed
+    #   ONE fused condense+IPM+expand kernel; one J HBM round-trip
+    #   (~1.1 MB/tile), H/M stay in VMEM.  Chosen by measurement: the
+    #   all-in-one kernel's in-body linearization runs 3.5x slower than the
+    #   standalone lin kernel (VMEM/register pressure from the condensing
+    #   state — round-4 probe, outputs/roofline/ROOFLINE.md).
+    # - "fused" runs the whole Gauss-Newton step as ONE Pallas kernel with
+    #   zero HBM traffic between phases (15.4 ms — the lin inefficiency
+    #   outweighs the traffic saving at N=10).
+    # - "split" chains the three per-phase kernels (13.6 ms; kept as the
+    #   numerical cross-check).
+    # All three are bitwise-identical in z/U (shared kernel bodies,
+    # tests/test_pipeline_equivalence.py).
     warm_start_duals: bool = False
     # Carry the IPM dual state (zl, zu) across RTI ticks and seed the QP from
     # it — the role HPIPM's warm start plays inside acados SQP_RTI
@@ -632,6 +642,86 @@ class SQPSolver:
         kkt = untile(kkt_t)[:, 0]
         return X_new, U_new, zl, zu, kkt
 
+    def _gn_step_batch_hybrid(self, X, U, zl, zu, x0, y_ref, y_ref_N, aug):
+        """One batched Gauss-Newton step as lin kernel + ONE J-fed fused
+        kernel (condense + IPM QP + KKT + dX expansion).  The round-4 probe
+        (outputs/roofline/ROOFLINE.md) measured the all-in-one fused
+        kernel's in-body linearization at ~7.4 ms/call at B=16384 vs
+        2.08 ms for the standalone lin kernel — the condensing state's
+        VMEM/register pressure wrecks the lin phase.  This pipeline pays
+        one J round-trip through HBM (~1.1 MB/tile) to keep both phases at
+        standalone efficiency; H and the condensing map still never leave
+        VMEM/SSA.  Numerics bitwise == fused/split (shared kernel bodies;
+        tests/test_pipeline_equivalence.py)."""
+        from ..models.augmented import FoldedDrag
+        from .pallas.sqp_fused_kernel import fused_sqp_from_J
+
+        cfg = self.cfg
+        N = cfg.n_nodes
+        B = X.shape[0]
+        nu = U.shape[-1]
+        nz = N * nu
+        ntb = B // 128
+        dtype = X.dtype
+        interp = jax.default_backend() != "tpu"
+
+        if self._lin_pallas is None:
+            from .pallas.lin_kernel import make_linearizer_pallas
+
+            self._lin_pallas = make_linearizer_pallas(self.f.params, cfg.dt)
+
+        Xl = X[:, :-1].transpose(1, 0, 2).reshape(N * B, 13)
+        Ul = U.transpose(1, 0, 2).reshape(N * B, nu)
+        aug_cols = None
+        if aug is not None:
+            def cols(a):
+                a = jnp.moveaxis(a, 0, -1)                       # (..., B)
+                base = a.shape[:-1]
+                a = jnp.broadcast_to(a[..., None, :], base + (N, B))
+                return a.reshape(base + (N * B,))
+
+            aug_cols = FoldedDrag(*(cols(leaf) for leaf in aug))
+
+        # the lin kernel writes its tiles scenario-major directly
+        # (out_layout BlockSpec index map) — no HBM regroup copy
+        xp_t, J_t = self._lin_pallas(Xl, Ul, aug_cols, interpret=interp,
+                                     tiled_out=True, out_layout=(N, ntb))
+        J_t = J_t.reshape(ntb, N, 17, 13, 128)
+        xp_t = xp_t.reshape(ntb, N, 13, 128)
+
+        def tile(a):
+            a = a.reshape((ntb, 128) + a.shape[1:])
+            return jnp.moveaxis(a, 1, -1)
+
+        def untile(at):
+            return jnp.moveaxis(at, -1, 1).reshape((B,) + at.shape[1:-1])
+
+        X_t = tile(X)
+        r_t = xp_t - X_t[:, 1:]
+        ex0_t = X_t - tile(jnp.concatenate([y_ref, y_ref_N[:, None]], axis=1))
+        dx0_t = tile(x0 - X[:, 0])
+
+        Uf_t = tile(U.reshape(B, nz))
+        rw_full = jnp.tile(jnp.asarray(cfg.r_cost, dtype) * cfg.stage_scale, N)
+        gu_t = (Uf_t - cfg.u_ref) * rw_full[None, :, None]
+        lbt = cfg.u_lb - Uf_t
+        ubt = cfg.u_ub - Uf_t
+
+        warm = cfg.warm_start_duals and zl is not None
+        duals = (tile(zl), tile(zu)) if warm else None
+
+        q_s, q_term, rw_s = cfg.weight_tuples()
+        zt, Xd_t, kkt_t, zlt, zut = fused_sqp_from_J(
+            J_t, r_t, dx0_t, ex0_t, gu_t, lbt, ubt, duals,
+            q_s, q_term, rw_s, cfg.qp_iters, interpret=interp)
+        if warm:
+            zl, zu = untile(zlt), untile(zut)
+
+        U_new = U + untile(zt).reshape(B, N, nu)
+        X_new = X + untile(Xd_t)
+        kkt = untile(kkt_t)[:, 0]
+        return X_new, U_new, zl, zu, kkt
+
     def _gn_step_batch_riccati(self, X, U, x0, y_ref, y_ref_N, aug):
         """Batched long-horizon Gauss-Newton step: Pallas lin kernel ->
         lanes-batched Riccati-IPM kernel (`ops/pallas/riccati_kernel.py`) ->
@@ -673,9 +763,9 @@ class SQPSolver:
             aug_cols = FoldedDrag(*(cols(leaf) for leaf in aug))
 
         xp_t, J_t = self._lin_pallas(Xl, Ul, aug_cols, interpret=interp,
-                                     tiled_out=True)
-        J_t = J_t.reshape(N, ntb, 17, 13, 128).transpose(1, 0, 2, 3, 4)
-        xp_t = xp_t.reshape(N, ntb, 13, 128).transpose(1, 0, 2, 3)
+                                     tiled_out=True, out_layout=(N, ntb))
+        J_t = J_t.reshape(ntb, N, 17, 13, 128)
+        xp_t = xp_t.reshape(ntb, N, 13, 128)
 
         def tile(a):
             a = a.reshape((ntb, 128) + a.shape[1:])
@@ -782,8 +872,10 @@ class SQPSolver:
                         X, U, x0, y_ref, y_ref_N, aug)
                 return (Xn, Un, zl, zu), kkt
             if tiled:
-                step = (self._gn_step_batch_fused if cfg.pipeline == "fused"
-                        else self._gn_step_batch_tiled)
+                step = {"fused": self._gn_step_batch_fused,
+                        "hybrid": self._gn_step_batch_hybrid,
+                        "split": self._gn_step_batch_tiled}.get(
+                            cfg.pipeline, self._gn_step_batch_tiled)
                 X_new, U_new, zl, zu, kkt = step(X, U, zl, zu, x0, y_ref,
                                                  y_ref_N, aug)
                 return (X_new, U_new, zl, zu), kkt

@@ -73,9 +73,16 @@ def test_three_way_pipeline_equivalence():
     p, x0, ref, rgp = _scenarios()
     solver, carry, y_ref, U_fused, X_fused = _solve("fused", p, x0, ref, rgp)
     _, _, _, U_split, X_split = _solve("split", p, x0, ref, rgp)
+    # the production hybrid path (lin kernel -> J-fed fused kernel)
+    _, _, _, U_hyb, X_hyb = _solve("hybrid", p, x0, ref, rgp)
     # chunks of 64 stay under the 128-lane tile threshold -> the small path
     _, _, _, U_small, X_small = _solve("fused", p, x0, ref, rgp, chunk=64)
 
+    # hybrid vs fused: BITWISE (identical condense/IPM/expand bodies, the
+    # only difference is where the identically-formulated linearization
+    # runs — measured max|dU| = max|dX| = 0.0 on CPU)
+    np.testing.assert_allclose(U_hyb, U_fused, atol=0)
+    np.testing.assert_allclose(X_hyb, X_fused, atol=0)
     # fused vs split: bitwise on CPU (same formulas, same unrolled order)
     np.testing.assert_allclose(U_fused, U_split, atol=1e-6)
     np.testing.assert_allclose(X_fused, X_split, atol=1e-5)

@@ -195,6 +195,7 @@ def main():
                 "vpu_utilization_vs_measured_sol": (round(exec_flops / vpu, 4)
                                                     if vpu else None),
                 "device_kind": kind,
+                "pipeline": cfg.pipeline,
                 **closed,
             }
         )

@@ -40,17 +40,32 @@ import pytest
 REFERENCE_DATA = pathlib.Path("/root/reference/outputs")
 
 
+# Modules that compile the big interpret-mode Pallas programs (fused /
+# hybrid / riccati kernels at B >= 128, shard_map-wrapped variants) — the
+# compiles that segfault when XLA:CPU's in-memory executable accumulation
+# from a long session gets large enough.
+_HEAVY_COMPILE_MODULES = {
+    "test_pipeline_equivalence", "test_parallel", "test_multiprocess",
+    "test_pallas_qp", "test_riccati_kernel", "test_hetero_batch",
+    "test_bench_suite", "test_warm_start",
+}
+
+
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
+def _bound_xla_cpu_accumulation(request):
     """XLA:CPU keeps every compiled executable of the session in memory;
-    after ~130 compiles the NEXT big compile (the interpret-mode fused
+    after ~130 compiles the NEXT big compile (e.g. the interpret-mode fused
     kernel at B=256) segfaults inside backend_compile — reproducibly at
     test_pipeline_equivalence in full-suite runs while the same test passes
-    standalone or in any subset.  Dropping the compiled-program caches at
-    module boundaries caps the accumulation; cross-module recompiles are
-    the price."""
+    standalone or in any subset.  Clearing the compiled-program caches
+    right BEFORE each heavy-compile module caps the accumulation those
+    compiles see, without paying cross-module recompiles at every light
+    module boundary (an unconditional per-module clear measured +25 min on
+    the full suite)."""
+    name = request.module.__name__.rsplit(".", 1)[-1]
+    if name in _HEAVY_COMPILE_MODULES:
+        jax.clear_caches()
     yield
-    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -116,14 +116,37 @@ def rgp_regress(state: RGPState, x_t: jnp.ndarray, y_t: jnp.ndarray,
     arithmetic, but it keeps the covariance PSD-ish over 1e5+ sequential f32
     updates (SURVEY §7 "hard parts").
     """
-    mu_p, C_p, Jt = rgp_predict(state, x_t, with_cov=True)
     sigma_n = state.theta[2]
     k = x_t.shape[-1]
-    S = C_p + sigma_n**2 * jnp.eye(k, dtype=x_t.dtype)
-    # Kalman gain G̃ = C_g Jtᵀ S^-1  (`RGP.py:324-326`)
-    G = jnp.linalg.solve(S, (state.C_g @ Jt.T).T).T
-    mu_new = state.mu_g + G @ (y_t - mu_p)
-    C_new = state.C_g - G @ Jt @ state.C_g
+    if k == 1:
+        # Fully elementwise k=1 fast path (the control-loop case).  The
+        # generic path's tiny matmuls — and especially the (1,1)
+        # jnp.linalg.solve — become batched MXU dot_generals / LU custom
+        # calls under vmap over (B, 3) episodes, with catastrophic padding:
+        # measured 3.9 ms/tick at B=8192 on v5e, 37% of the whole
+        # closed-loop tick, for ~32 MFLOP of actual math.  Broadcast-
+        # multiply-reduce keeps everything on the VPU.  Same formulas
+        # (`RGP.py:303-330`), reassociation-level numerics only (pinned vs
+        # the numpy oracles in tests/test_rgp.py).
+        L_, sf = state.theta[0], state.theta[1]
+        x1 = x_t[0]
+        kx = sf**2 * jnp.exp(-0.5 * (x1 - state.X) ** 2 / (L_ * L_))  # (nb,)
+        Jt1 = jnp.sum(kx[:, None] * state.K_x_inv, axis=0)            # (nb,)
+        mu_p1 = jnp.sum(Jt1 * state.mu_g)
+        B1 = sf**2 - jnp.sum(Jt1 * kx)             # k(x*,x*) - Jt K(X, x*)
+        CJ = jnp.sum(state.C_g * Jt1[None, :], axis=1)                # (nb,)
+        C_p1 = B1 + jnp.sum(Jt1 * CJ)
+        G1 = CJ / (C_p1 + sigma_n**2)                                 # (nb,)
+        mu_new = state.mu_g + G1 * (y_t[0] - mu_p1)
+        JC = jnp.sum(Jt1[:, None] * state.C_g, axis=0)                # (nb,)
+        C_new = state.C_g - G1[:, None] * JC[None, :]
+    else:
+        mu_p, C_p, Jt = rgp_predict(state, x_t, with_cov=True)
+        S = C_p + sigma_n**2 * jnp.eye(k, dtype=x_t.dtype)
+        # Kalman gain G̃ = C_g Jtᵀ S^-1  (`RGP.py:324-326`)
+        G = jnp.linalg.solve(S, (state.C_g @ Jt.T).T).T
+        mu_new = state.mu_g + G @ (y_t - mu_p)
+        C_new = state.C_g - G @ Jt @ state.C_g
     if symmetrize:
         C_new = 0.5 * (C_new + C_new.T)
     return state._replace(mu_g=mu_new, C_g=C_new)

@@ -69,10 +69,11 @@ def main():
     from mpc_quad_ros_tpu.ops.sqp import SolverCarry, init_carry
 
     dtype = jnp.float32
-    # B=16384 measured ~1.3x the B=4096 throughput on v5e-lite (the fused
-    # kernel's grid amortizes per-dispatch overheads; HBM footprint is still
-    # only tens of MB since condensing lives in VMEM scratch)
-    B = int(os.environ.get("BENCH_BATCH", 16384))
+    # B=32768 measured the per-chip sweet spot on v5e-lite (1.225M vs
+    # 1.175M solves/s at B=16384, +4.2%; B=65536 is flat at 1.221M) — the
+    # fused kernel's grid amortizes per-dispatch overheads; HBM footprint is
+    # still only tens of MB since condensing lives in VMEM scratch
+    B = int(os.environ.get("BENCH_BATCH", 32768))
     iters = int(os.environ.get("BENCH_ITERS", 20))
 
     p = hummingbird_params(dtype=dtype)
@@ -147,7 +148,8 @@ def main():
     if os.environ.get("BENCH_SKIP_CLOSED") != "1":
         from mpc_quad_ros_tpu.bench.suite import closed_loop
 
-        cb = int(os.environ.get("BENCH_CLOSED_B", 8192))
+        # B=16384 episodes: 1.132M tick-solves/s vs 1.090M at B=8192 (+3.7%)
+        cb = int(os.environ.get("BENCH_CLOSED_B", 16384))
         cl = closed_loop(B=cb, v=8.0, t_max=10.0)
         closed = {
             "closed_loop_tick_solves_per_s": round(cl["tick_solves_per_s"], 1),

@@ -32,6 +32,21 @@ import jax.numpy as jnp
 
 from .qp import solve_box_qp_pdip, solve_box_qp_projected_newton
 
+# Interpret-mode override for the Pallas pipelines.  None = infer from the
+# default backend (`jax.default_backend() != "tpu"`).  `parallel.mesh.
+# make_mesh` sets this True when it falls back to a virtual-CPU mesh while
+# the process default backend is a (single-chip) TPU — the container's
+# sitecustomize ignores JAX_PLATFORMS once backends are initialized, so the
+# default-backend heuristic would try to lower Mosaic kernels for the CPU
+# mesh and fail ("Only interpret mode is supported on CPU backend").
+INTERPRET_OVERRIDE: Optional[bool] = None
+
+
+def _interpret_mode() -> bool:
+    if INTERPRET_OVERRIDE is not None:
+        return INTERPRET_OVERRIDE
+    return jax.default_backend() != "tpu"
+
 
 def _fold_aug(aug):
     """Fold a GP/RGP augmentation into its solve-invariant form (the
@@ -466,7 +481,7 @@ class SQPSolver:
 
                 self._lin_pallas = make_linearizer_pallas(self.f.params, cfg.dt)
             xp, A, Bm = self._lin_pallas(
-                Xl, Ul, aug_cols, interpret=jax.default_backend() != "tpu"
+                Xl, Ul, aug_cols, interpret=_interpret_mode()
             )
             xp = xp.reshape(B * N, 13)
         else:
@@ -482,7 +497,7 @@ class SQPSolver:
 
         q_stage, q_term, rw_t = cfg.weight_tuples()
         ex0 = X - jnp.concatenate([y_ref, y_ref_N[:, None]], axis=1)
-        interpret = jax.default_backend() != "tpu"
+        interpret = _interpret_mode()
         H, g, M, d = condense_cost_pallas(
             A, Bm, r, x0 - X[:, 0], ex0, q=q_stage, p=q_term, rw=rw_t,
             interpret=interpret,
@@ -512,7 +527,7 @@ class SQPSolver:
         nz = N * nu
         ntb = B // 128
         dtype = X.dtype
-        interp = jax.default_backend() != "tpu"
+        interp = _interpret_mode()
 
         if self._lin_pallas is None:
             from .pallas.lin_kernel import make_linearizer_pallas
@@ -603,7 +618,7 @@ class SQPSolver:
         nz = N * nu
         ntb = B // 128
         dtype = X.dtype
-        interp = jax.default_backend() != "tpu"
+        interp = _interpret_mode()
 
         if self._fused_step is None:
             self._fused_step = make_fused_sqp_step(self.f.params, cfg.dt)
@@ -663,7 +678,7 @@ class SQPSolver:
         nz = N * nu
         ntb = B // 128
         dtype = X.dtype
-        interp = jax.default_backend() != "tpu"
+        interp = _interpret_mode()
 
         if self._lin_pallas is None:
             from .pallas.lin_kernel import make_linearizer_pallas
@@ -740,7 +755,7 @@ class SQPSolver:
         nu = U.shape[-1]
         ntb = B // 128
         dtype = X.dtype
-        interp = jax.default_backend() != "tpu"
+        interp = _interpret_mode()
 
         if self._lin_pallas is None:
             from .pallas.lin_kernel import make_linearizer_pallas
@@ -888,7 +903,7 @@ class SQPSolver:
             else:
                 H, g, lb, ub, M, d = _jax.vmap(self._assemble)(X, U, x0, y_ref, y_ref_N, aug)
 
-            interpret = _jax.default_backend() != "tpu"
+            interpret = _interpret_mode()
             # H is symmetric already on both routes here: `_assemble` applies
             # 0.5*(H+Hᵀ) itself and the SoA condense kernel accumulates
             # symmetric outer products — skip the wrapper's re-symmetrization

@@ -35,6 +35,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
     devs = jax.devices(backend) if backend else jax.devices()
     if n_devices is not None and len(devs) < n_devices and backend is None:
         devs = jax.devices("cpu")
+        # Match the Pallas interpret-mode decision to where this mesh
+        # actually computes: under a TPU-pinned default backend (the
+        # container's sitecustomize ignores JAX_PLATFORMS once backends are
+        # initialized) the `jax.default_backend()` heuristic in ops/sqp.py
+        # would lower Mosaic kernels for the CPU mesh and fail.  No-op when
+        # cpu is already the default (the driver's dryrun env); never taken
+        # on a real TPU mesh (no fallback).
+        if jax.default_backend() != "cpu":
+            from ..ops import sqp as _sqp
+
+            _sqp.INTERPRET_OVERRIDE = True
     if n_devices is not None:
         if len(devs) < n_devices:
             raise RuntimeError(f"need {n_devices} devices, have {len(devs)}")

@@ -51,17 +51,20 @@ _HEAVY_COMPILE_MODULES = {
 }
 
 
-@pytest.fixture(autouse=True, scope="module")
+@pytest.fixture(autouse=True)
 def _bound_xla_cpu_accumulation(request):
     """XLA:CPU keeps every compiled executable of the session in memory;
     after ~130 compiles the NEXT big compile (e.g. the interpret-mode fused
     kernel at B=256) segfaults inside backend_compile — reproducibly at
     test_pipeline_equivalence in full-suite runs while the same test passes
     standalone or in any subset.  Clearing the compiled-program caches
-    right BEFORE each heavy-compile module caps the accumulation those
-    compiles see, without paying cross-module recompiles at every light
-    module boundary (an unconditional per-module clear measured +25 min on
-    the full suite)."""
+    BEFORE each heavy-compile TEST caps the accumulation those compiles
+    see, without paying cross-module recompiles at every light module
+    boundary (an unconditional per-module clear measured +25 min on the
+    full suite).  Per-test (not per-module) because a module-scope clear
+    was observed insufficient: a full-suite run still crashed at the 4th
+    test INSIDE test_warm_start — the module's own earlier tests rebuilt
+    enough accumulation to tip the next big compile over."""
     name = request.module.__name__.rsplit(".", 1)[-1]
     if name in _HEAVY_COMPILE_MODULES:
         jax.clear_caches()

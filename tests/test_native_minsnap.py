@@ -16,6 +16,16 @@ NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "mpc_quad_ros_tpu", "
 pytestmark = pytest.mark.skipif(not native_available(), reason="native lib unavailable")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _build_cli_binary():
+    """The gen_trajectory CLI binary is gitignored (only the sources are
+    checked in); build it on demand so a fresh checkout runs green — the
+    ctypes binding already does the same for libminsnap.so."""
+    if not os.path.exists(os.path.join(NATIVE_DIR, "gen_trajectory")):
+        subprocess.run(["make", "-C", NATIVE_DIR], check=True, timeout=120,
+                       capture_output=True)
+
+
 def test_native_matches_python_oracle():
     for seed in (0, 3, 11):
         wp = random_waypoints(hsize=10.0, num_waypoints=6, start_point=(0, 0, 3), seed=seed)

@@ -47,6 +47,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interpret() -> bool:
+    """Pallas interpret-mode decision, shared with the solver (honours the
+    CPU-fallback-mesh override instead of the raw default-backend heuristic —
+    ADVICE r4)."""
+    from ..ops.sqp import _interpret_mode
+
+    return _interpret_mode()
+
+
 # ------------------------------------------------------------------ #
 # timing: scan-length sweep with forced scalar fetch
 # ------------------------------------------------------------------ #
@@ -107,7 +116,7 @@ def _fma_rate(sublanes: int, chains: int, steps: int, grid: int) -> float:
         out_specs=pl.BlockSpec((1, S, L), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid, S, L), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )
 
     def make_scan(K):
@@ -224,7 +233,7 @@ def fused_phase_split(B: int = 16384, iters_grid=(0, 4, 8, 12)) -> dict:
     lin = make_linearizer_pallas(p, 0.1)
     Xl = jnp.broadcast_to(x0[:, None, :], (B, N, 13)).transpose(1, 0, 2).reshape(N * B, 13)
     Ul = jnp.full((N * B, nu), 0.16, dtype)
-    interp = jax.default_backend() != "tpu"
+    interp = _interpret()
 
     def make_lin(K):
         @jax.jit

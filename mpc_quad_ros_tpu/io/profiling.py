@@ -69,6 +69,7 @@ def profile_solver_phases(solver, carry, x0, y_ref, aug=None, iters: int = 10) -
     """Wall-clock per-phase breakdown of one batched solve.  All inputs
     batch-major (leading B)."""
     from ..ops.pallas.qp_kernel import solve_box_qp_pdip_pallas
+    from ..ops.sqp import _interpret_mode
 
     B = x0.shape[0]
     cfg = solver.cfg
@@ -87,7 +88,7 @@ def profile_solver_phases(solver, carry, x0, y_ref, aug=None, iters: int = 10) -
 
     H, g, lb, ub, M, d = asm(*asm_args)
     qp = jax.jit(lambda H, g, lb, ub: solve_box_qp_pdip_pallas(
-        H, g, lb, ub, iters=cfg.qp_iters, interpret=jax.default_backend() != "tpu"))
+        H, g, lb, ub, iters=cfg.qp_iters, interpret=_interpret_mode()))
 
     full = jax.jit(lambda c, x, yr, a: solver.solve_batch(c, x, yr, yr[:, -1], a)[1].U)
 

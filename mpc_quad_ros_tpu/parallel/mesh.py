@@ -32,6 +32,8 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
     has too few — the container's sitecustomize pins the (single-chip) TPU
     platform even when JAX_PLATFORMS=cpu is exported, but
     `jax.devices("cpu")` still honours --xla_force_host_platform_device_count."""
+    from ..ops import sqp as _sqp
+
     devs = jax.devices(backend) if backend else jax.devices()
     if n_devices is not None and len(devs) < n_devices and backend is None:
         devs = jax.devices("cpu")
@@ -43,9 +45,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
         # cpu is already the default (the driver's dryrun env); never taken
         # on a real TPU mesh (no fallback).
         if jax.default_backend() != "cpu":
-            from ..ops import sqp as _sqp
-
             _sqp.INTERPRET_OVERRIDE = True
+    else:
+        # Building a NON-fallback mesh re-scopes the override: without this
+        # a single earlier CPU-fallback make_mesh would latch interpret mode
+        # process-wide and silently interpret-run every later pure-TPU solve
+        # (ADVICE r4 medium).  The override is thus "the most recent mesh's"
+        # decision, not a one-way switch.
+        _sqp.INTERPRET_OVERRIDE = None
     if n_devices is not None:
         if len(devs) < n_devices:
             raise RuntimeError(f"need {n_devices} devices, have {len(devs)}")

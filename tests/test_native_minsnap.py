@@ -22,8 +22,14 @@ def _build_cli_binary():
     checked in); build it on demand so a fresh checkout runs green — the
     ctypes binding already does the same for libminsnap.so."""
     if not os.path.exists(os.path.join(NATIVE_DIR, "gen_trajectory")):
-        subprocess.run(["make", "-C", NATIVE_DIR], check=True, timeout=120,
-                       capture_output=True)
+        try:
+            subprocess.run(["make", "-C", NATIVE_DIR], check=True, timeout=120,
+                           capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            # surface the compiler output — a bare CalledProcessError with
+            # captured (swallowed) stderr is undiagnosable from a test report
+            pytest.fail(f"native build failed (exit {e.returncode}):\n"
+                        f"{e.stdout}\n{e.stderr}")
 
 
 def test_native_matches_python_oracle():

@@ -52,17 +52,40 @@ import jax.numpy as jnp
 
 def replay_reference_log(log_path: str, n_nodes: int = 5, t_horizon: float = 1.0,
                          skip: int = 20, sqp_iters: int = 2, drop_tail: int = 150,
-                         dtype=None, gp_path: str | None = None):
+                         dtype=None, gp_path: str | None = None,
+                         rgp_from_log: bool = False, rgp_theta=None,
+                         rgp_basis=None, params: str = "hummingbird"):
     """Replay and compare.  Returns dict with per-tick |du| stats and arrays.
 
     gp_path: directory of `mdl_{x,y,z}.gp` files for gp1-mode logs.  Note the
     checked-in reference model files are of unknown vintage relative to the
     recorded gp1 runs (the models were retrained after), so gp1 parity lands
     around |du| ~1e-2 versus ~1e-3 for gp0.
+
+    rgp_from_log: gp2-mode logs.  The recorded per-tick RGP posterior (the
+    `rgp_mu_g_t` key in python-sim logs / the raw `rgp_params` solver vector
+    in ROS logs) is fed to the solver at each tick — exactly what the
+    reference's acados solver consumed (`quad_opt.py:402-404`) — so the
+    unlogged line-to-hover regression phase that makes gp2 *regression*
+    unreproducible does not block *control* parity.  The solve at tick k
+    uses the posterior logged at tick k-1 (the reference regresses AFTER
+    its solve, `execute_trajectory.py:210,256`).  rgp_basis (3, nb) and
+    rgp_theta are required for ROS logs (only the flattened mu vector is
+    logged there); python-sim logs carry their basis vectors.
+
+    params: "hummingbird" for gazebo logs (the node loads the xacro,
+    `mpc_controller_node.py:192-198`); "default" for python-sim logs —
+    `execute_trajectory.py:127` builds `Quadrotor3D(drag=True)` with the
+    class defaults (mass 0.03, max_thrust 20), NOT the hummingbird;
+    "default_v1" for older python-sim logs recorded before the class
+    defaults changed (mass 1.0, arm 0.235 — the commented-out values at
+    `quad.py:57-61`; vintage inferred per log by `parity_matrix`).
     """
-    from ..models.params import hummingbird_params
+    from ..models.params import (default_params, default_v1_params,
+                                 hummingbird_params)
     from ..models.augmented import make_mpc_dynamics
     from ..models.ensemble import GPEnsemble
+    from ..models.rgp import rgp_init
     from ..ops import MPCConfig, SQPSolver
     from ..ops.sqp import init_carry
 
@@ -83,14 +106,37 @@ def replay_reference_log(log_path: str, n_nodes: int = 5, t_horizon: float = 1.0
     n_replay = T - drop_tail
     assert n_replay > 10, "log too short for the requested drop_tail"
 
-    p = hummingbird_params(dtype=dtype)
+    rgp_state0, MU_prev = None, None
+    if rgp_from_log:
+        if "rgp_mu_g_t" in d:
+            MU = np.array(d["rgp_mu_g_t"])             # (T, 3, nb)
+            Xb = np.array(d["rgp_basis_vectors"])[0]   # (3, nb) — constant
+            theta = rgp_theta or (3.0, 0.1, 0.01)      # `execute_trajectory.py:106`
+        else:
+            P = np.array(d["rgp_params"])              # (T, 3*nb) mu concat
+            nb = P.shape[1] // 3
+            MU = P.reshape(T, 3, nb)
+            assert rgp_basis is not None, "ROS gp2 logs need rgp_basis"
+            Xb = np.asarray(rgp_basis)
+            theta = rgp_theta or (1.0, 0.1, 0.1)       # RGP.__init__ default
+        # solve at tick k consumed the posterior from tick k-1; tick 0's true
+        # pre-log posterior is unlogged (line-to-hover) — approximate with
+        # the slowly-varying tick-0 value
+        MU_prev = jnp.asarray(np.concatenate([MU[:1], MU[:-1]], axis=0), dtype)
+        th = jnp.asarray(theta, dtype)
+        rgp_state0 = jax.vmap(lambda Xd: rgp_init(Xd, theta=th))(
+            jnp.asarray(Xb, dtype))
+
+    p = {"hummingbird": hummingbird_params, "default": default_params,
+         "default_v1": default_v1_params}[params](dtype=dtype)
     cfg = MPCConfig(n_nodes=n_nodes, t_horizon=t_horizon, u_ref=0.16, sqp_iters=sqp_iters)
     solver = SQPSolver(cfg, make_mpc_dynamics(p))
 
     def tick(carry, k):
         idx = jnp.clip(k + skip * jnp.arange(n_nodes), 0, T - 1)
         xr = jnp.take(XR, idx, axis=0)
-        carry, sol = solver.solve(carry, X[k], xr, xr[-1], aug)
+        a = rgp_state0._replace(mu_g=MU_prev[k]) if rgp_from_log else aug
+        carry, sol = solver.solve(carry, X[k], xr, xr[-1], a)
         return carry, sol.U[0]
 
     carry0 = init_carry(cfg, X[0])

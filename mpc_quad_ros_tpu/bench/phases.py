@@ -355,15 +355,18 @@ def executed_vpu_flops(N=10, nx=13, nu=4, nt=17, qp_iters=12,
     for k in range(N):
         lw = k * nu
         if k > 0:
-            # accumulate(H, g, M[:, :lw], ex, q): W stack + H FMA + g FMA
+            # accumulate_lower(panels, g, M[:, :lw], ex, q): W stack + the
+            # block-LOWER row-panel H FMAs (round-5 symmetric-half
+            # accumulation: sum_rb nu*(rb+1)*nu = lw*(lw+nu)/2 per i) + g
             condense += nx * lw            # W = q_i * M_i
-            condense += 2 * nx * lw * lw   # H += M_i W_i^T
+            condense += nx * lw * (lw + nu)  # H panels += M_i W_i^T (x2 FMA)
             condense += 2 * nx * lw + nx   # g += W_i ex_i; ex = ex0 + d
             # M recurrence on the live block: Mn += J_j M[j, :lw]
             condense += 2 * nx * nx * lw
         condense += 2 * nx * nx + nx       # d = A d + r
-    # terminal accumulate at full width nz
-    condense += nx * nz + 2 * nx * nz * nz + 2 * nx * nz + nx
+    # terminal accumulate at full width nz (block-lower panels)
+    condense += nx * nz + nx * nz * (nz + nu) + 2 * nx * nz + nx
+    condense += nz * nz                    # mirror add H = Hl + strict^T
     condense += nu * nz * nz               # rw diagonal where-adds
 
     # ---- one IPM iteration ----

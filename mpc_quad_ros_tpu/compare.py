@@ -48,7 +48,8 @@ def run_matrix(config_path: str, out_dir: str = "outputs/comparison", verbose: b
 
 
 def run_matrix_batched(config_path: str, out_dir: str = "outputs/comparison",
-                       verbose: bool = True, max_ticks: int | None = None):
+                       verbose: bool = True, max_ticks: int | None = None,
+                       gp_path: str | None = None):
     """The whole comparison matrix as ONE heterogeneous batched computation
     per GPE mode (runs with the same gpe share an augmentation type, so they
     batch; mixed v_max gives mixed trajectory lengths, handled by
@@ -72,6 +73,13 @@ def run_matrix_batched(config_path: str, out_dir: str = "outputs/comparison",
     from .run import build_trajectory
 
     runs = [c.clamp_limits() for c in SimConfig.from_json(config_path)]
+    if gp_path is not None:
+        # the reference config JSON carries no model path (its gpe-1 runs
+        # hardcode outputs/python_simulation/gp_models) — inject it here
+        import dataclasses
+
+        runs = [dataclasses.replace(c, gp_path=gp_path) if c.gpe == 1 else c
+                for c in runs]
     os.makedirs(out_dir, exist_ok=True)
     dtype = jnp.float32
     results = [None] * len(runs)
@@ -188,9 +196,14 @@ def main(argv=None):
     parser.add_argument("--batched", action="store_true",
                         help="run the whole matrix as one heterogeneous "
                              "batched computation per gpe mode")
+    parser.add_argument("--gp_path", type=str, default=None,
+                        help="GP model dir injected into gpe-1 runs")
     args = parser.parse_args(argv)
-    fn = run_matrix_batched if args.batched else run_matrix
-    results = fn(args.config, args.out_dir)
+    if args.batched:
+        results = run_matrix_batched(args.config, args.out_dir,
+                                     gp_path=args.gp_path)
+    else:
+        results = run_matrix(args.config, args.out_dir)
     for r in results:
         print(r)
     if args.plot:

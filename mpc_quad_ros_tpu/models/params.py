@@ -67,6 +67,31 @@ def default_params(payload: bool = False, dtype=jnp.float32) -> QuadParams:
     )
 
 
+def default_v1_params(payload: bool = False, dtype=jnp.float32) -> QuadParams:
+    """The reference's EARLIER `Quadrotor3D` defaults — the values left
+    commented out at `quad.py:57-61` (mass 1.0, arm 0.47/2) with the same
+    J/c/drag constants.  Several recorded python-sim logs (traj2_*,
+    trajectory_v15_*) predate the crazyflie-style re-parameterization and
+    reproduce `x_pred_odom` to machine precision ONLY under these values
+    (bench/parity_matrix.py infers the vintage per log)."""
+    length = 0.47 / 2
+    c = 0.013
+    return _mk(
+        dtype,
+        mass=1.0,
+        J=[0.03, 0.03, 0.06],
+        max_thrust=20.0,
+        x_f=[length, 0.0, -length, 0.0],
+        y_f=[0.0, length, 0.0, -length],
+        z_l_tau=[-c, c, -c, c],
+        g=[0.0, 0.0, 9.81],
+        aero_drag=0.008,
+        rotor_drag=[0.3, 0.3, 0.0],
+        rotor_functionality=[1.0, 1.0, 1.0, 1.0],
+        payload_mass=0.3 if payload else 0.0,
+    )
+
+
 def hummingbird_params(payload: bool = False, dtype=jnp.float32) -> QuadParams:
     """RotorS hummingbird, '+' rotor configuration.
 

@@ -59,30 +59,12 @@ def _condense_kernel(A_ref, B_ref, r_ref, dx0_ref, ex0_ref,
     # columns only.  B_k lands via static zero-padded concat (a .at[].add
     # lowers to scatter-add, unsupported in Mosaic; zero-width pieces are
     # skipped — Mosaic rejects size-0 vectors).
-    H = None
+    from .condense_common import accumulate_lower, assemble_mirror, panels_grow
+
+    panels = []
     g = None
     lw_acc = 0
     M = jnp.zeros((nx, nz, L), dtype)
-
-    def grow(H, g, lw_old, lw_new):
-        if H is None:
-            return (jnp.zeros((lw_new, lw_new, L), dtype),
-                    jnp.zeros((lw_new, L), dtype))
-        dw = lw_new - lw_old
-        if dw == 0:
-            return H, g
-        H = jnp.concatenate([H, jnp.zeros((dw, lw_old, L), dtype)], axis=0)
-        H = jnp.concatenate([H, jnp.zeros((lw_new, dw, L), dtype)], axis=1)
-        g = jnp.concatenate([g, jnp.zeros((dw, L), dtype)], axis=0)
-        return H, g
-
-    def accumulate(H, g, Mk_live, exk, w):
-        """H += Mk^T diag(w) Mk;  g += Mk^T diag(w) exk  (w: static tuple)."""
-        W = jnp.stack([w[i] * Mk_live[i] for i in range(nx)], axis=0)
-        for i in range(nx):
-            H = H + Mk_live[i][:, None, :] * W[i][None, :, :]
-            g = g + W[i] * exk[i][None, :]
-        return H, g
 
     for k in range(N):
         A_k = A_ref[0, k]                              # (nx, nx, L)
@@ -92,9 +74,10 @@ def _condense_kernel(A_ref, B_ref, r_ref, dx0_ref, ex0_ref,
         lw = k * nu
         # stage-k cost term (M_0 = 0 contributes nothing; skip k=0)
         if k > 0:
-            H, g = grow(H, g, lw_acc, lw)
+            panels, g = panels_grow(panels, g, lw_acc, lw, nu, L, dtype)
             lw_acc = lw
-            H, g = accumulate(H, g, M[:, :lw, :], ex0_ref[0, k] + d, q)
+            panels, g = accumulate_lower(panels, g, M[:, :lw, :],
+                                         ex0_ref[0, k] + d, q, nx, nu)
 
         # d_{k+1} = A_k d + r_k  — contraction over the state dim
         d = sum(A_k[:, j, :] * d[j][None, :] for j in range(nx)) + r_k
@@ -113,17 +96,12 @@ def _condense_kernel(A_ref, B_ref, r_ref, dx0_ref, ex0_ref,
         M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
         M_ref[0, k + 1] = M
 
-    # terminal term with weight p
-    H, g = grow(H, g, lw_acc, nz)
-    H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)
-
-    # + kron(I_N, diag(rw)): add rw[c % nu] on the Hessian diagonal
-    # (rw entries are static Python floats — no captured device constants)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 1)
-    for i in range(nu):
-        H = H + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
-    H_ref[0] = H
+    # terminal term with weight p, then mirror the block-lower panels to
+    # the full symmetric H (+ kron(I_N, diag(rw)) control diagonal; rw
+    # entries are static Python floats — no captured device constants)
+    panels, g = panels_grow(panels, g, lw_acc, nz, nu, L, dtype)
+    panels, g = accumulate_lower(panels, g, M, ex0_ref[0, N] + d, p, nx, nu)
+    H_ref[0] = assemble_mirror(panels, nz, nu, rw, dtype)
     g_ref[0] = g
 
 
@@ -148,38 +126,22 @@ def _condense_kernel_J(J_ref, r_ref, dx0_ref, ex0_ref,
     # bitwise, tests/test_pipeline_equivalence.py).  H/g accumulate in SSA
     # on the growing (k*nu)-wide live block (one final ref write, no VMEM
     # round-trip per stage); M recurrence contracts the live block only.
-    H = None
+    from .condense_common import accumulate_lower, assemble_mirror, panels_grow
+
+    panels = []
     g = None
     lw_acc = 0
     M = jnp.zeros((nx, nz, L), dtype)
-
-    def grow(H, g, lw_old, lw_new):
-        if H is None:
-            return (jnp.zeros((lw_new, lw_new, L), dtype),
-                    jnp.zeros((lw_new, L), dtype))
-        dw = lw_new - lw_old
-        if dw == 0:
-            return H, g
-        H = jnp.concatenate([H, jnp.zeros((dw, lw_old, L), dtype)], axis=0)
-        H = jnp.concatenate([H, jnp.zeros((lw_new, dw, L), dtype)], axis=1)
-        g = jnp.concatenate([g, jnp.zeros((dw, L), dtype)], axis=0)
-        return H, g
-
-    def accumulate(H, g, Mk_live, exk, w):
-        W = jnp.stack([w[i] * Mk_live[i] for i in range(nx)], axis=0)
-        for i in range(nx):
-            H = H + Mk_live[i][:, None, :] * W[i][None, :, :]
-            g = g + W[i] * exk[i][None, :]
-        return H, g
 
     for k in range(N):
         r_k = r_ref[0, k]
 
         lw = k * nu
         if k > 0:
-            H, g = grow(H, g, lw_acc, lw)
+            panels, g = panels_grow(panels, g, lw_acc, lw, nu, L, dtype)
             lw_acc = lw
-            H, g = accumulate(H, g, M[:, :lw, :], ex0_ref[0, k] + d, q)
+            panels, g = accumulate_lower(panels, g, M[:, :lw, :],
+                                         ex0_ref[0, k] + d, q, nx, nu)
 
         d = sum(J_ref[0, k, j] * d[j][None, :] for j in range(nx)) + r_k
         d_ref[0, k + 1] = d
@@ -197,14 +159,12 @@ def _condense_kernel_J(J_ref, r_ref, dx0_ref, ex0_ref,
         M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
         M_ref[0, k + 1] = M                 # the running M lives in SSA
 
-    H, g = grow(H, g, lw_acc, nz)
-    H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)
-
-    ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 1)
-    for i in range(nu):
-        H = H + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
-    H_ref[0] = H
+    # terminal term with weight p, then mirror the block-lower panels to
+    # the full symmetric H (+ kron(I_N, diag(rw)) control diagonal; rw
+    # entries are static Python floats — no captured device constants)
+    panels, g = panels_grow(panels, g, lw_acc, nz, nu, L, dtype)
+    panels, g = accumulate_lower(panels, g, M, ex0_ref[0, N] + d, p, nx, nu)
+    H_ref[0] = assemble_mirror(panels, nz, nu, rw, dtype)
     g_ref[0] = g
 
 

@@ -28,6 +28,48 @@ LANE_TILE = 128
 NX, NU, NT = 13, 4, 17
 
 
+def _mk_drag_mean(aug):
+    """The folded-RGP drag mean as a `custom_jvp` over the body velocity.
+
+    Each axis's mean is a 1-D GP in vb[axis] alone (the RBF diff broadcasts
+    per axis), so the Jacobian wrt vb is DIAGONAL: dmean_a/dvb_a =
+    sum_b k_ab (-(vb_a - X_ab)/L_a^2) w_ab.  The custom rule computes
+    (mean, Jdiag) from the primal once — XLA CSEs the identical subgraph
+    across the 17 per-tangent jvp traces of `_lin_kernel` — and each
+    tangent pays ONE multiply, where plain AD re-swept the (3, nb, L)
+    kernel-row products per tangent (~7k FLOPs/column at nb=10).  The
+    tangent value is algebraically identical to AD's (dvb factored out of
+    the basis sum; last-ulp only), applied to every pipeline in lockstep
+    via this shared dynamics builder."""
+    X_b0, w_b0, L_b0, sf_b0 = aug    # (3, nb, L), (3, nb, L), (3, L), (3, L)
+
+    def k_of(vb, X_b, L_b, sf_b):
+        diff = vb[:, None, :] - X_b
+        k = sf_b[:, None, :] ** 2 * jnp.exp(-0.5 * diff**2 / (L_b[:, None, :] ** 2))
+        return diff, k
+
+    # the aug leaves are explicit ARGUMENTS, not closure captures: Mosaic's
+    # custom_jvp_call lowering rejects closure consts (num_consts != 0 ->
+    # NotImplementedError); as plain operands they arrive with (unused,
+    # DCE'd) zero tangents instead
+    @jax.custom_jvp
+    def mean_fn(vb, X_b, w_b, L_b, sf_b):
+        _, k = k_of(vb, X_b, L_b, sf_b)
+        return jnp.sum(k * w_b, axis=1)
+
+    @mean_fn.defjvp
+    def mean_jvp(primals, tangents):
+        vb, X_b, w_b, L_b, sf_b = primals
+        dvb = tangents[0]
+        diff, k = k_of(vb, X_b, L_b, sf_b)
+        kw = k * w_b
+        mean = jnp.sum(kw, axis=1)
+        Jdiag = jnp.sum(kw * (-diff / (L_b[:, None, :] ** 2)), axis=1)
+        return mean, Jdiag * dvb
+
+    return lambda vb: mean_fn(vb, X_b0, w_b0, L_b0, sf_b0)
+
+
 def _make_f(p, nb: int | None):
     """The SoA MPC dynamics with every parameter a Python scalar (Pallas
     kernels cannot capture device-array constants).  Mirrors
@@ -72,14 +114,11 @@ def _make_f(p, nb: int | None):
         avz = r33 * a_m - g2 + a_payload_z
 
         if aug is not None:
-            X_b, w_b, L_b, sf_b = aug        # (3, nb, L), (3, nb, L), (3, L), (3, L)
             vbx = r11 * vx + r21 * vy + r31 * vz
             vby = r12 * vx + r22 * vy + r32 * vz
             vbz = r13 * vx + r23 * vy + r33 * vz
             vb = jnp.stack([vbx, vby, vbz], axis=0)               # (3, L)
-            diff = vb[:, None, :] - X_b
-            k = sf_b[:, None, :] ** 2 * jnp.exp(-0.5 * diff**2 / (L_b[:, None, :] ** 2))
-            mean = jnp.sum(k * w_b, axis=1)                        # (3, L)
+            mean = _mk_drag_mean(aug)(vb)                          # (3, L)
             avx = avx + r11 * mean[0] + r12 * mean[1] + r13 * mean[2]
             avy = avy + r21 * mean[0] + r22 * mean[1] + r23 * mean[2]
             avz = avz + r31 * mean[0] + r32 * mean[1] + r33 * mean[2]
@@ -117,6 +156,14 @@ def _lin_kernel(x_ref, u_ref, *refs, f, dt: float, with_aug: bool):
         k4 = f(x + dt * k3, u, aug)
         return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
+    # 17 separate jvp traces, NOT one vmapped `jax.linearize` pass: the
+    # shared-primal form was tried (round 5) and measured SLOWER — 6.65 vs
+    # 4.64 ms/call at B=16384 with the RGP aug — the (17, nx, L) batched
+    # tangent intermediates wreck Mosaic's scheduling the same way the
+    # all-in-one fused kernel's in-body linearization did (round-4 probe);
+    # XLA CSEs the 17 recomputed primals here, so jvp pays no transcendental
+    # duplication.  J is bitwise-identical either way (the hybrid==fused
+    # assert in tests/test_pipeline_equivalence.py spans both forms).
     xp_ref[0] = step(x, u)
 
     row_x = jax.lax.broadcasted_iota(jnp.int32, (NX, LANE_TILE), 0)
@@ -131,14 +178,22 @@ def _lin_kernel(x_ref, u_ref, *refs, f, dt: float, with_aug: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("f", "dt", "interpret",
-                                             "tiled_out", "out_layout"))
+                                             "tiled_out", "out_layout",
+                                             "aug_per_scenario"))
 def _call(x, u, aug_leaves, f, dt, interpret, tiled_out=False,
-          out_layout=None):
+          out_layout=None, aug_per_scenario=False):
     """out_layout=(N, ntb): inputs are n-major flattened (column = n*B + b,
     tile t = n*ntb + tb) and the OUTPUT tiles are written scenario-major
     (position tb*N + n) directly by the BlockSpec index map — the
     regrouping the downstream scenario-tiled kernels need, for free instead
-    of an HBM transpose copy.  Requires tiled_out=True."""
+    of an HBM transpose copy.  Requires tiled_out=True.
+
+    aug_per_scenario (requires out_layout): aug leaves are per-SCENARIO
+    (trailing dim B = ntb*128, no N-stage broadcast) and every stage tile of
+    scenario block tb reads the SAME aug tile via the input BlockSpec index
+    map (tile i -> block i % ntb) — the host never materializes the
+    (3, nb, N*B) broadcast the column layout would otherwise need (~86 MB
+    at B=16384, pure HBM churn)."""
     M = x.shape[0]
     dtype = x.dtype
     with_aug = aug_leaves is not None
@@ -168,7 +223,27 @@ def _call(x, u, aug_leaves, f, dt, interpret, tiled_out=False,
 
     in_specs = [spec((NX, LANE_TILE)), spec((NU, LANE_TILE))]
     inputs = [xt, ut]
-    if with_aug:
+    if with_aug and aug_per_scenario:
+        assert out_layout is not None and Mp == M, \
+            "aug_per_scenario needs the n-major tiled layout, unpadded"
+        N_, ntb_ = out_layout
+        Xb, wb, Lb, sfb = aug_leaves     # (3, nb, B) x2, (3, B) x2
+
+        def scen_spec(shape):
+            nd = len(shape)
+            return pl.BlockSpec((1,) + shape,
+                                lambda i: (i % ntb_,) + (0,) * nd,
+                                memory_space=pltpu.VMEM)
+
+        inputs += [
+            Xb.reshape(3, nb, ntb_, LANE_TILE).transpose(2, 0, 1, 3),
+            wb.reshape(3, nb, ntb_, LANE_TILE).transpose(2, 0, 1, 3),
+            Lb.reshape(3, ntb_, LANE_TILE).transpose(1, 0, 2),
+            sfb.reshape(3, ntb_, LANE_TILE).transpose(1, 0, 2),
+        ]
+        in_specs += [scen_spec((3, nb, LANE_TILE)), scen_spec((3, nb, LANE_TILE)),
+                     scen_spec((3, LANE_TILE)), scen_spec((3, LANE_TILE))]
+    elif with_aug:
         Xb, wb, Lb, sfb = aug_leaves     # (3, nb, Mp) x2, (3, Mp) x2
         inputs += [
             Xb.reshape(3, nb, nt, LANE_TILE).transpose(2, 0, 1, 3),
@@ -231,13 +306,14 @@ def make_linearizer_pallas(p, dt: float):
         return builder_cache[nb]
 
     def linearize(X, U, aug_cols=None, interpret=False, tiled_out=False,
-                  out_layout=None):
+                  out_layout=None, aug_per_scenario=False):
         leaves = None
         nb = None
         if aug_cols is not None:
             leaves = (aug_cols.X, aug_cols.w, aug_cols.L, aug_cols.sigma_f)
             nb = leaves[0].shape[1]
         return _call(X, U, leaves, f_for(nb), dt, interpret,
-                     tiled_out=tiled_out, out_layout=out_layout)
+                     tiled_out=tiled_out, out_layout=out_layout,
+                     aug_per_scenario=aug_per_scenario)
 
     return linearize

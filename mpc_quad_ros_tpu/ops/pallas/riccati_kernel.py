@@ -126,18 +126,21 @@ def _riccati_ipm_kernel(J_ref, c_ref, dx0_ref, qlin_ref, rlin_ref, plin_ref,
             Wt = Wt + Jk[:nx, j][:, None, :] * Pj[None, :, :]
             Vt = Vt + Jk[nx:, j][:, None, :] * Pj[None, :, :]
 
-        # G = sym(B^T P B) + diag(rdiag + barrier d_k)
+        # G = sym(B^T P B) + diag(rdiag + barrier d_k).  The second product
+        # order is the EXACT transpose of the first (IEEE multiplication
+        # commutes bitwise and the j-accumulation order matches), so
+        # symmetrize with a swapaxes instead of a second FMA sweep —
+        # bitwise-identical at ~half the FLOPs (same below for T and U2;
+        # the (d0,d1,L) transpose measured free, bench/probe_hybrid).
         G = jnp.zeros((nu, nu, L), dtype)
-        Gt = jnp.zeros((nu, nu, L), dtype)
         S = jnp.zeros((nu, nx, L), dtype)
         for j in range(nx):
             Bj = Jk[nx:, j]                            # (nu, L) = Bt[:, j]
             Vj = Vt[:, j]                              # (nu, L)
             Wj = Wt[:, j]                              # (nx, L)
             G = G + Bj[:, None, :] * Vj[None, :, :]
-            Gt = Gt + Vj[:, None, :] * Bj[None, :, :]
             S = S + Bj[:, None, :] * Wj[None, :, :]    # S = B^T P A
-        G = 0.5 * (G + Gt)
+        G = 0.5 * (G + jnp.swapaxes(G, 0, 1))
         dk = dbar_scr_read(k)                          # barrier diagonal
         for a in range(nu):
             G = G + jnp.where((gi == a) & (gj == a),
@@ -179,19 +182,17 @@ def _riccati_ipm_kernel(J_ref, c_ref, dx0_ref, qlin_ref, rlin_ref, plin_ref,
         kff_scr[k] = kff
 
         # P' = Q + sym(A^T P A) - sym(S^T K);  p' = q_hat + A^T p - K^T rhs2
+        # (sym via bitwise-exact transpose — see the G note above)
         T = jnp.zeros((nx, nx, L), dtype)
-        Tt = jnp.zeros((nx, nx, L), dtype)
         for j in range(nx):
             Aj = Jk[:nx, j]                            # (nx, L) = At[:, j]
             Wj = Wt[:, j]
             T = T + Aj[:, None, :] * Wj[None, :, :]    # A^T P A
-            Tt = Tt + Wj[:, None, :] * Aj[None, :, :]
         U2 = jnp.zeros((nx, nx, L), dtype)
-        U2t = jnp.zeros((nx, nx, L), dtype)
         for a in range(nu):
             U2 = U2 + S[a][:, None, :] * K[a][None, :, :]   # S^T K
-            U2t = U2t + K[a][:, None, :] * S[a][None, :, :]
-        P_new = Qmat + 0.5 * (T + Tt) - 0.5 * (U2 + U2t)
+        P_new = Qmat + 0.5 * (T + jnp.swapaxes(T, 0, 1)) \
+            - 0.5 * (U2 + jnp.swapaxes(U2, 0, 1))
 
         dxk = dX_scr[k]
         qhat = jnp.stack([q[i2] * dxk[i2] for i2 in range(nx)], axis=0) \

@@ -111,38 +111,19 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
     # Live-width condensing (round-3 roofline work): at stage k the map M_k
     # has nonzero columns only in [0, k*nu) — controls after stage k cannot
     # affect x_k.  The H/g accumulation and the M recurrence therefore
-    # operate on the (k*nu)-wide live block only (the dead region is exact
-    # +0.0s contributing exact zeros), with H/g grown by zero-padding as the
-    # block widens.  Cuts the H-accumulation FLOPs to 38% and the
-    # M-recurrence to 45% of the full-width version, bitwise-identically
-    # (live-region add order unchanged; tests/test_pipeline_equivalence.py).
-    H = None                                             # (lw, lw, L) growing
+    # operate on the (k*nu)-wide live block only.  Round 5: H is symmetric
+    # by construction, so the accumulation covers only the block-LOWER row
+    # panels (~half the FLOPs again) and the full H is assembled once at
+    # the end by mirroring across the diagonal (`condense_common` — shared
+    # by all condensing kernel bodies, which keeps the pipelines
+    # bitwise-identical; tests/test_pipeline_equivalence.py).
+    from .condense_common import accumulate_lower, assemble_mirror, panels_grow
+
+    panels = []                                          # block-lower H rows
     g = None                                             # (lw, L) growing
     lw_acc = 0                                           # current width of H/g
     M = jnp.zeros((nx, nz, L), dtype)
     d = dx0_ref[0]
-
-    def grow(H, g, lw_old, lw_new):
-        """Zero-pad the live H/g block from width lw_old to lw_new."""
-        if H is None:
-            return (jnp.zeros((lw_new, lw_new, L), dtype),
-                    jnp.zeros((lw_new, L), dtype))
-        dw = lw_new - lw_old
-        if dw == 0:
-            return H, g
-        H = jnp.concatenate([H, jnp.zeros((dw, lw_old, L), dtype)], axis=0)
-        H = jnp.concatenate([H, jnp.zeros((lw_new, dw, L), dtype)], axis=1)
-        g = jnp.concatenate([g, jnp.zeros((dw, L), dtype)], axis=0)
-        return H, g
-
-    def accumulate(H, g, Mk_live, exk, w):
-        """H += Mk^T diag(w) Mk;  g += Mk^T diag(w) exk on the live block
-        (w static tuple; Mk_live: (nx, lw, L))."""
-        W = jnp.stack([w[i] * Mk_live[i] for i in range(nx)], axis=0)
-        for i in range(nx):
-            H = H + Mk_live[i][:, None, :] * W[i][None, :, :]
-            g = g + W[i] * exk[i][None, :]
-        return H, g
 
     for k in range(N):
         x = X_ref[0, k]                                  # (nx, L)
@@ -156,9 +137,10 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
 
         lw = k * nu                                      # live width of M_k
         if k > 0:  # stage-k cost term (M_0 = 0 contributes nothing)
-            H, g = grow(H, g, lw_acc, lw)
+            panels, g = panels_grow(panels, g, lw_acc, lw, nu, L, dtype)
             lw_acc = lw
-            H, g = accumulate(H, g, M[:, :lw, :], ex0_ref[0, k] + d, q)
+            panels, g = accumulate_lower(panels, g, M[:, :lw, :],
+                                         ex0_ref[0, k] + d, q, nx, nu)
 
         # d_{k+1} = A_k d + r_k — tangent j IS column j of A_k
         d = sum(Jk[j] * d[j][None, :] for j in range(nx)) + r_k
@@ -175,14 +157,12 @@ def _fused_kernel(X_ref, U_ref, dx0_ref, ex0_ref, gu_ref, lb_ref, ub_ref,
             pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
         M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
 
-    H, g = grow(H, g, lw_acc, nz)                        # full width for the
-    H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)     # terminal (weight p)
+    panels, g = panels_grow(panels, g, lw_acc, nz, nu, L, dtype)
+    panels, g = accumulate_lower(panels, g, M, ex0_ref[0, N] + d, p, nx, nu)
 
-    # + kron(I_N, diag(rw)) on the diagonal (rw static floats)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 1)
-    for i in range(nu):
-        H = H + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
+    # mirror the block-lower panels to the full symmetric H
+    # (+ kron(I_N, diag(rw)) on the diagonal, rw static floats)
+    H = assemble_mirror(panels, nz, nu, rw, dtype)
     g = g + gu_ref[0]
     lb0 = lb_ref[0]
     ub0 = ub_ref[0]
@@ -341,31 +321,15 @@ def _fused_from_J_kernel(J_ref, r_ref, dx0_ref, ex0_ref, gu_ref, lb_ref,
     z_out, Xd_out, kkt_out, zlo_ref, zuo_ref = refs
     dtype = J_ref.dtype
 
-    # ---- live-width condensing from J (same body as _fused_kernel) ----
-    H = None
+    # ---- live-width block-lower condensing from J (shared helper bodies,
+    # condense_common — identical to _fused_kernel pass 1) ----
+    from .condense_common import accumulate_lower, assemble_mirror, panels_grow
+
+    panels = []
     g = None
     lw_acc = 0
     M = jnp.zeros((nx, nz, L), dtype)
     d = dx0_ref[0]
-
-    def grow(H, g, lw_old, lw_new):
-        if H is None:
-            return (jnp.zeros((lw_new, lw_new, L), dtype),
-                    jnp.zeros((lw_new, L), dtype))
-        dw = lw_new - lw_old
-        if dw == 0:
-            return H, g
-        H = jnp.concatenate([H, jnp.zeros((dw, lw_old, L), dtype)], axis=0)
-        H = jnp.concatenate([H, jnp.zeros((lw_new, dw, L), dtype)], axis=1)
-        g = jnp.concatenate([g, jnp.zeros((dw, L), dtype)], axis=0)
-        return H, g
-
-    def accumulate(H, g, Mk_live, exk, w):
-        W = jnp.stack([w[i] * Mk_live[i] for i in range(nx)], axis=0)
-        for i in range(nx):
-            H = H + Mk_live[i][:, None, :] * W[i][None, :, :]
-            g = g + W[i] * exk[i][None, :]
-        return H, g
 
     for k in range(N):
         Jk = [J_ref[0, k, i] for i in range(NT)]
@@ -373,9 +337,10 @@ def _fused_from_J_kernel(J_ref, r_ref, dx0_ref, ex0_ref, gu_ref, lb_ref,
 
         lw = k * nu
         if k > 0:
-            H, g = grow(H, g, lw_acc, lw)
+            panels, g = panels_grow(panels, g, lw_acc, lw, nu, L, dtype)
             lw_acc = lw
-            H, g = accumulate(H, g, M[:, :lw, :], ex0_ref[0, k] + d, q)
+            panels, g = accumulate_lower(panels, g, M[:, :lw, :],
+                                         ex0_ref[0, k] + d, q, nx, nu)
 
         d = sum(Jk[j] * d[j][None, :] for j in range(nx)) + r_k
 
@@ -390,13 +355,10 @@ def _fused_from_J_kernel(J_ref, r_ref, dx0_ref, ex0_ref, gu_ref, lb_ref,
             pieces.append(jnp.zeros((nx, nz - (k + 1) * nu, L), dtype))
         M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
 
-    H, g = grow(H, g, lw_acc, nz)
-    H, g = accumulate(H, g, M, ex0_ref[0, N] + d, p)
+    panels, g = panels_grow(panels, g, lw_acc, nz, nu, L, dtype)
+    panels, g = accumulate_lower(panels, g, M, ex0_ref[0, N] + d, p, nx, nu)
 
-    ci = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, L), 1)
-    for i in range(nu):
-        H = H + jnp.where((ci == cj) & (ci % nu == i), rw[i], 0.0).astype(dtype)
+    H = assemble_mirror(panels, nz, nu, rw, dtype)
     g = g + gu_ref[0]
     lb0 = lb_ref[0]
     ub0 = ub_ref[0]

@@ -742,18 +742,16 @@ class SQPSolver:
         Ul = U.transpose(1, 0, 2).reshape(N * B, nu)
         aug_cols = None
         if aug is not None:
-            def cols(a):
-                a = jnp.moveaxis(a, 0, -1)                       # (..., B)
-                base = a.shape[:-1]
-                a = jnp.broadcast_to(a[..., None, :], base + (N, B))
-                return a.reshape(base + (N * B,))
-
-            aug_cols = FoldedDrag(*(cols(leaf) for leaf in aug))
+            # per-SCENARIO leaves, trailing B: every stage tile of a
+            # scenario block reads the same aug tile via the kernel's input
+            # BlockSpec index map — no (3, nb, N*B) broadcast materialized
+            aug_cols = FoldedDrag(*(jnp.moveaxis(leaf, 0, -1) for leaf in aug))
 
         # the lin kernel writes its tiles scenario-major directly
         # (out_layout BlockSpec index map) — no HBM regroup copy
         xp_t, J_t = self._lin_pallas(Xl, Ul, aug_cols, interpret=interp,
-                                     tiled_out=True, out_layout=(N, ntb))
+                                     tiled_out=True, out_layout=(N, ntb),
+                                     aug_per_scenario=True)
         J_t = J_t.reshape(ntb, N, 17, 13, 128)
         xp_t = xp_t.reshape(ntb, N, 13, 128)
 
@@ -822,16 +820,13 @@ class SQPSolver:
         Ul = U.transpose(1, 0, 2).reshape(N * B, nu)
         aug_cols = None
         if aug is not None:
-            def cols(a):
-                a = jnp.moveaxis(a, 0, -1)                       # (..., B)
-                base = a.shape[:-1]
-                a = jnp.broadcast_to(a[..., None, :], base + (N, B))
-                return a.reshape(base + (N * B,))
-
-            aug_cols = FoldedDrag(*(cols(leaf) for leaf in aug))
+            # per-scenario aug tiles via the kernel's BlockSpec index map
+            # (no N-stage broadcast) — see _gn_step_batch_hybrid
+            aug_cols = FoldedDrag(*(jnp.moveaxis(leaf, 0, -1) for leaf in aug))
 
         xp_t, J_t = self._lin_pallas(Xl, Ul, aug_cols, interpret=interp,
-                                     tiled_out=True, out_layout=(N, ntb))
+                                     tiled_out=True, out_layout=(N, ntb),
+                                     aug_per_scenario=True)
         J_t = J_t.reshape(ntb, N, 17, 13, 128)
         xp_t = xp_t.reshape(ntb, N, 13, 128)
 

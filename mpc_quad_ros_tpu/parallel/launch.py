@@ -28,8 +28,8 @@ def free_port() -> int:
 
 def launch_workers(nproc: int = 2, devices_per_process: int = 4,
                    global_batch: int = 1024, qp_iters: int = 2,
-                   ticks: int = 0, repeats: int = 1,
-                   timeout: float = 900.0) -> list[dict]:
+                   ticks: int = 0, repeats: int = 1, chain: int = 1,
+                   timeout: float = 1800.0) -> list[dict]:
     """Run the SPMD worker in `nproc` local processes; returns their result
     dicts ordered by process id.  Raises on any nonzero exit (with the
     worker's captured output in the message)."""
@@ -55,7 +55,7 @@ def launch_workers(nproc: int = 2, devices_per_process: int = 4,
                    "--num-processes", str(nproc), "--process-id", str(pid),
                    "--global-batch", str(global_batch),
                    "--qp-iters", str(qp_iters), "--ticks", str(ticks),
-                   "--repeats", str(repeats),
+                   "--repeats", str(repeats), "--chain", str(chain),
                    "--devices-per-process", str(devices_per_process),
                    "--platform", "cpu", "--out", out]
             procs.append(subprocess.Popen(

@@ -51,7 +51,7 @@ def run_worker(num_processes: int, process_id: int, coordinator: str,
                global_batch: int, qp_iters: int, out_path: str | None,
                devices_per_process: int | None = None,
                platform: str | None = None, ticks: int = 0,
-               repeats: int = 1):
+               repeats: int = 1, chain: int = 1):
     """Body of one SPMD worker; returns the result dict it also saves."""
     # --- runtime wiring (env flags must precede backend init) ---
     if devices_per_process is not None:
@@ -103,7 +103,12 @@ def run_worker(num_processes: int, process_id: int, coordinator: str,
         carry_d, x0, y_ref, ref, rgp = b
         from ..ops.sqp import SolverCarry
         carry = SolverCarry(**carry_d)
-        _, sol = solver.solve_batch(carry, x0, y_ref, ref, rgp)
+        # `chain` WARM-STARTED RTI solves back-to-back (the production tick
+        # chain — each solve re-solves from the previous solution under the
+        # process-spanning mesh); chain=1 is a single cold solve
+        sol = None
+        for _ in range(max(chain, 1)):
+            carry, sol = solver.solve_batch(carry, x0, y_ref, ref, rgp)
         metrics = {
             "kkt_sum": jnp.sum(sol.kkt_residual),
             "cost_sum": jnp.sum(sol.cost),
@@ -188,6 +193,8 @@ def main(argv=None):
                     help="closed-loop MPC ticks for the episode leg (0=skip)")
     ap.add_argument("--repeats", type=int, default=1,
                     help=">1: time the solve step (scaling harness mode)")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="warm-started RTI solves chained per step")
     ap.add_argument("--devices-per-process", type=int, default=None,
                     help="CPU testing: virtual device count for this process")
     ap.add_argument("--platform", default=None,
@@ -196,7 +203,7 @@ def main(argv=None):
     a = ap.parse_args(argv)
     run_worker(a.num_processes, a.process_id, a.coordinator, a.global_batch,
                a.qp_iters, a.out, a.devices_per_process, a.platform,
-               a.ticks, a.repeats)
+               a.ticks, a.repeats, a.chain)
 
 
 if __name__ == "__main__":

@@ -111,21 +111,34 @@ def replay_reference_log(log_path: str, n_nodes: int = 5, t_horizon: float = 1.0
         if "rgp_mu_g_t" in d:
             MU = np.array(d["rgp_mu_g_t"])             # (T, 3, nb)
             Xb = np.array(d["rgp_basis_vectors"])[0]   # (3, nb) — constant
-            theta = rgp_theta or (3.0, 0.1, 0.01)      # `execute_trajectory.py:106`
+            if rgp_theta is not None:
+                theta = np.tile(np.asarray(rgp_theta, np.float64), (3, 1))
+            else:
+                # hyperparameters changed between log vintages — read the
+                # run's OWN logged theta (per axis: [L (1,1), sigma_f,
+                # sigma_n]); fall back to the current CLI default
+                th_log = next((t for t in d.get("rgp_theta", []) or []
+                               if t is not None), None)
+                if th_log is not None:
+                    theta = np.array([[float(np.ravel(v)[0]) for v in ax]
+                                      for ax in th_log])
+                else:
+                    theta = np.tile([3.0, 0.1, 0.01], (3, 1))  # `execute_trajectory.py:106`
         else:
             P = np.array(d["rgp_params"])              # (T, 3*nb) mu concat
             nb = P.shape[1] // 3
             MU = P.reshape(T, 3, nb)
             assert rgp_basis is not None, "ROS gp2 logs need rgp_basis"
             Xb = np.asarray(rgp_basis)
-            theta = rgp_theta or (1.0, 0.1, 0.1)       # RGP.__init__ default
+            theta = np.tile(np.asarray(rgp_theta or (1.0, 0.1, 0.1),
+                                       np.float64), (3, 1))  # RGP.__init__ default
         # solve at tick k consumed the posterior from tick k-1; tick 0's true
         # pre-log posterior is unlogged (line-to-hover) — approximate with
         # the slowly-varying tick-0 value
         MU_prev = jnp.asarray(np.concatenate([MU[:1], MU[:-1]], axis=0), dtype)
-        th = jnp.asarray(theta, dtype)
-        rgp_state0 = jax.vmap(lambda Xd: rgp_init(Xd, theta=th))(
-            jnp.asarray(Xb, dtype))
+        th = jnp.asarray(theta, dtype)                 # (3, 3) per-axis
+        rgp_state0 = jax.vmap(lambda Xd, t: rgp_init(Xd, theta=t))(
+            jnp.asarray(Xb, dtype), th)
 
     p = {"hummingbird": hummingbird_params, "default": default_params,
          "default_v1": default_v1_params}[params](dtype=dtype)

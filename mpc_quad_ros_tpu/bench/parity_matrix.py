@@ -148,6 +148,15 @@ def run_matrix(out_dir: str = "outputs/parity", quick: bool = False) -> dict:
             d = pickle.load(f)
         X = np.array(d["x_odom"])
         n_sane = _sane_prefix(X)
+        if kw.get("rgp_from_log") and "rgp_mu_g_t" in d:
+            # a gp2 reference run can diverge in its POSTERIOR before the
+            # state leaves the arena (mu reaching 1e12 while |x| < 50);
+            # truncate at the first wild posterior too
+            mu = np.array(d["rgp_mu_g_t"])
+            bad = np.where(np.abs(mu).reshape(mu.shape[0], -1).max(axis=1)
+                           > 100.0)[0]
+            if bad.size:
+                n_sane = min(n_sane, int(bad[0]))
         diverged = n_sane < X.shape[0]
         if diverged:
             # replay only the sane prefix (leave room for the ref chunk)

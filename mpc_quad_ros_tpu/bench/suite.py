@@ -154,7 +154,8 @@ def closed_loop(B: int = 1024, v: float = 8.0, t_max: float = 10.0) -> dict:
     }
 
 
-def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
+def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256,
+                      pallas_only: bool = False) -> list:
     """Backend crossover sweep: device time per solve as the horizon N grows
     (fixed 0.1 s node spacing, B scenarios), for FOUR paths:
 
@@ -196,7 +197,7 @@ def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
             carry = jax.vmap(lambda x: init_carry(cfg, x))(x0)
             return solver, carry, x0, y_ref
 
-        def timed(step_maker):
+        def timed(step_maker, Ks=(2, 10)):
             def make_scan(K):
                 @jax.jit
                 def f(c):
@@ -206,9 +207,15 @@ def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
                     _, costs = jax.lax.scan(body, c, None, length=K)
                     return costs.sum()
                 return lambda: f(carry)
-            return _slope_time(make_scan, Ks=(2, 10))
+            return _slope_time(make_scan, Ks=Ks)
 
-        for method in ("pdip", "riccati"):
+        # the Pallas rows at B=256 run in the ~100 us/call regime where a
+        # (2, 10) chain's slope is below wall-clock noise (the r05 first
+        # pass measured a NEGATIVE fused time at N=10) — stretch their
+        # chains instead
+        KS_PALLAS = (5, 80)
+
+        for method in (() if pallas_only else ("pdip", "riccati")):
             solver, carry, x0, y_ref = setup(method)
             dt = timed(lambda c: (lambda c2, sol: (c2, sol.cost.sum()))(
                 *jax.vmap(lambda cc, xx, rr: solver.solve(cc, xx, rr, rr[-1])
@@ -221,7 +228,8 @@ def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
         try:
             solver, carry, x0, y_ref = setup("riccati")
             dt = timed(lambda c: (lambda c2, sol: (c2, sol.cost.sum()))(
-                *solver.solve_batch(c, x0, y_ref, y_ref[:, -1])))
+                *solver.solve_batch(c, x0, y_ref, y_ref[:, -1])),
+                Ks=KS_PALLAS)
             row["riccati_pallas_us_per_solve"] = dt / B * 1e6
         except Exception as e:
             row["riccati_pallas_us_per_solve"] = None
@@ -248,18 +256,20 @@ def riccati_crossover(Ns=(10, 20, 40, 80, 160), B: int = 256) -> list:
             try:
                 solver, carry, x0, y_ref = setup("pdip")
                 dt = timed(lambda c: (lambda c2, sol: (c2, sol.cost.sum()))(
-                    *solver.solve_batch(c, x0, y_ref, y_ref[:, -1])))
+                    *solver.solve_batch(c, x0, y_ref, y_ref[:, -1])),
+                    Ks=KS_PALLAS)
                 row["fused_us_per_solve"] = dt / B * 1e6
             except Exception as e:  # a genuine bug (shape/type error), not
                 # resource exhaustion — the guard owns that case above
                 row["fused_us_per_solve"] = None
                 row["fused_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
-        row["riccati_speedup_vs_pdip"] = (row["pdip_us_per_solve"]
-                                          / row["riccati_us_per_solve"])
-        if row["fused_us_per_solve"]:
-            row["riccati_speedup_vs_fused"] = (row["fused_us_per_solve"]
-                                               / row["riccati_us_per_solve"])
+        if "pdip_us_per_solve" in row:
+            row["riccati_speedup_vs_pdip"] = (row["pdip_us_per_solve"]
+                                              / row["riccati_us_per_solve"])
+        if row.get("fused_us_per_solve") and row.get("riccati_pallas_us_per_solve"):
+            row["riccati_pallas_speedup_vs_fused"] = (
+                row["fused_us_per_solve"] / row["riccati_pallas_us_per_solve"])
         # stream each row as it lands: the N=80+ vmapped-XLA compiles take
         # tens of minutes — a timeout must not lose the completed rows
         print(json.dumps(row), file=sys.stderr, flush=True)

@@ -137,7 +137,8 @@ def _make_f(p, nb: int | None):
     return f
 
 
-def _lin_kernel(x_ref, u_ref, *refs, f, dt: float, with_aug: bool):
+def _lin_kernel(x_ref, u_ref, *refs, f, dt: float, with_aug: bool,
+                tangent_dtype=None):
     if with_aug:
         Xb_ref, wb_ref, Lb_ref, sfb_ref, xp_ref, J_ref = refs
         aug = (Xb_ref[0], wb_ref[0], Lb_ref[0], sfb_ref[0])
@@ -149,12 +150,16 @@ def _lin_kernel(x_ref, u_ref, *refs, f, dt: float, with_aug: bool):
     u = u_ref[0]                    # (4, L)
     dtype = x.dtype
 
-    def step(x, u):
-        k1 = f(x, u, aug)
-        k2 = f(x + dt / 2 * k1, u, aug)
-        k3 = f(x + dt / 2 * k2, u, aug)
-        k4 = f(x + dt * k3, u, aug)
-        return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+    def make_step(aug_):
+        def step(x, u):
+            k1 = f(x, u, aug_)
+            k2 = f(x + dt / 2 * k1, u, aug_)
+            k3 = f(x + dt / 2 * k2, u, aug_)
+            k4 = f(x + dt * k3, u, aug_)
+            return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        return step
+
+    step = make_step(aug)
 
     # 17 separate jvp traces, NOT one vmapped `jax.linearize` pass: the
     # shared-primal form was tried (round 5) and measured SLOWER — 6.65 vs
@@ -166,22 +171,35 @@ def _lin_kernel(x_ref, u_ref, *refs, f, dt: float, with_aug: bool):
     # assert in tests/test_pipeline_equivalence.py spans both forms).
     xp_ref[0] = step(x, u)
 
+    # tangent_dtype: the MEASURED-EXPERIMENT knob of VERDICT r4 next #8 —
+    # run the 17 tangent passes (linearization point AND derivative
+    # arithmetic) in a lower precision (bf16), with the shooting primal and
+    # everything downstream staying f32.  Not a production default: see
+    # outputs/roofline/BF16_TANGENTS_r05.md for the accept/reject data.
+    td = tangent_dtype or dtype
+    xs, us = x.astype(td), u.astype(td)
+    step_t = step if td == dtype else make_step(
+        tuple(a.astype(td) for a in aug) if aug is not None else None)
+
     row_x = jax.lax.broadcasted_iota(jnp.int32, (NX, LANE_TILE), 0)
     row_u = jax.lax.broadcasted_iota(jnp.int32, (NU, LANE_TILE), 0)
-    zx = jnp.zeros((NX, LANE_TILE), dtype)
-    zu = jnp.zeros((NU, LANE_TILE), dtype)
+    zx = jnp.zeros((NX, LANE_TILE), td)
+    zu = jnp.zeros((NU, LANE_TILE), td)
     one = jnp.ones((), dtype)
     for i in range(NT):             # static unroll: 17 forward-mode tangents
-        tx = jnp.where(row_x == i, one, 0.0).astype(dtype) if i < NX else zx
-        tu = jnp.where(row_u == i - NX, one, 0.0).astype(dtype) if i >= NX else zu
-        J_ref[0, i] = jax.jvp(step, (x, u), (tx, tu))[1]
+        # one-hots built in the ref dtype then cast: where() straight into
+        # bf16 hits a Mosaic i1 relayout bug ((8,128) -> (16,128) tiling)
+        tx = (jnp.where(row_x == i, one, 0.0).astype(td) if i < NX else zx)
+        tu = (jnp.where(row_u == i - NX, one, 0.0).astype(td) if i >= NX else zu)
+        J_ref[0, i] = jax.jvp(step_t, (xs, us), (tx, tu))[1].astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("f", "dt", "interpret",
                                              "tiled_out", "out_layout",
-                                             "aug_per_scenario"))
+                                             "aug_per_scenario",
+                                             "tangent_dtype"))
 def _call(x, u, aug_leaves, f, dt, interpret, tiled_out=False,
-          out_layout=None, aug_per_scenario=False):
+          out_layout=None, aug_per_scenario=False, tangent_dtype=None):
     """out_layout=(N, ntb): inputs are n-major flattened (column = n*B + b,
     tile t = n*ntb + tb) and the OUTPUT tiles are written scenario-major
     (position tb*N + n) directly by the BlockSpec index map — the
@@ -214,7 +232,8 @@ def _call(x, u, aug_leaves, f, dt, interpret, tiled_out=False,
     ut = u.reshape(nt, LANE_TILE, NU).transpose(0, 2, 1)
 
     nb = aug_leaves[0].shape[1] if with_aug else None
-    kernel = functools.partial(_lin_kernel, f=f, dt=dt, with_aug=with_aug)
+    kernel = functools.partial(_lin_kernel, f=f, dt=dt, with_aug=with_aug,
+                               tangent_dtype=tangent_dtype)
 
     def spec(shape):
         nd = len(shape)
@@ -306,7 +325,8 @@ def make_linearizer_pallas(p, dt: float):
         return builder_cache[nb]
 
     def linearize(X, U, aug_cols=None, interpret=False, tiled_out=False,
-                  out_layout=None, aug_per_scenario=False):
+                  out_layout=None, aug_per_scenario=False,
+                  tangent_dtype=None):
         leaves = None
         nb = None
         if aug_cols is not None:
@@ -314,6 +334,7 @@ def make_linearizer_pallas(p, dt: float):
             nb = leaves[0].shape[1]
         return _call(X, U, leaves, f_for(nb), dt, interpret,
                      tiled_out=tiled_out, out_layout=out_layout,
-                     aug_per_scenario=aug_per_scenario)
+                     aug_per_scenario=aug_per_scenario,
+                     tangent_dtype=tangent_dtype)
 
     return linearize

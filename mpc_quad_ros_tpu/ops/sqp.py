@@ -48,14 +48,14 @@ def _interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# ---- measured backend-crossover table (TPU v5e-lite, B=1024, 12 IPM iters;
-# outputs/roofline/CROSSOVER_r04.json, re-measured r05) ----
+# ---- measured backend-crossover table (TPU v5e-lite, B=256, 12 IPM iters;
+# outputs/roofline/CROSSOVER_r05.json) ----
 # Batched Pallas pipelines: the condensed hybrid kernel wins at short
-# horizons (N=10: 1.16 us/solve vs the Riccati kernel's 3.38); the O(N)-VMEM
-# lanes-batched Riccati-IPM kernel wins from N~20 (2.71 vs 3.64; N=40: 5.6
-# vs 21.6).  Per-scenario XLA paths cross much later (the vmapped Riccati
-# scan pays XLA loop overhead): condensed pdip N=20 149 vs 294 us, N=40 883
-# vs 589.
+# horizons (N=10: 0.34 us/solve vs the Riccati kernel's 1.11); the O(N)-VMEM
+# lanes-batched Riccati-IPM kernel wins from N~18 (N=20: 1.99 vs 2.78;
+# N=40: 4.28 vs 16.26; interpolated crossing ~N=17).  Per-scenario XLA
+# paths cross much later (the vmapped Riccati scan pays XLA loop overhead):
+# condensed pdip N=20 149 vs 294 us, N=40 883 vs 589.
 AUTO_RICCATI_MIN_N_TILED = 18    # batched Pallas: riccati from N >= 18
 AUTO_RICCATI_MIN_N_XLA = 32      # per-scenario XLA: riccati from N >= 32
 # VMEM ceiling of the condensed kernels: the fused/hybrid kernel holds the

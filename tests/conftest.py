@@ -71,6 +71,31 @@ def _bound_xla_cpu_accumulation(request):
     yield
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier too (full CI-style pass; default tier "
+             "skips tests marked slow to stay under ~20 min — VERDICT r4 "
+             "next #7)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight interpret-mode kernel / multi-process tests, "
+        "skipped unless --runslow (the default tier keeps at least one "
+        "fast correctness pin per subsystem)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def golden_gazebo_log():
     """A reference-recorded closed-loop run (current log format): used as the

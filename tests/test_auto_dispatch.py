@@ -72,6 +72,7 @@ def _inputs(cfg, B=4):
 
 
 @pytest.mark.parametrize("n_nodes,explicit", [(10, "pdip"), (33, "riccati")])
+@pytest.mark.slow
 def test_auto_solve_matches_explicit_backend(n_nodes, explicit):
     """auto-dispatched solve_batch (small-B, non-tiled path) == the
     explicitly-selected backend, bitwise (same code path after resolution)."""

@@ -1,6 +1,7 @@
 """Checkpoint / resume + fault-injection + profiling utilities."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +78,7 @@ def test_fault_injection_schedule():
     assert e_f[T // 2 + 5:].mean() > e_ok[T // 2 + 5:].mean()
 
 
+@pytest.mark.slow
 def test_profiling_phases():
     from mpc_quad_ros_tpu.io.profiling import profile_solver_phases, Stopwatch
     from mpc_quad_ros_tpu.ops.sqp import init_carry

@@ -18,6 +18,7 @@ the masked path IS bitwise-equal to the unmasked one, asserted below.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +48,7 @@ def _group(key, T, target_x):
     return pb, x0, traj, rgp
 
 
+@pytest.mark.slow
 def test_heterogeneous_batch_matches_homogeneous_oracles():
     p1 = hummingbird_params(dtype=DTYPE)
     cfg = EpisodeConfig(mpc=MPCConfig(u_ref=float(p1.hover_input), qp_iters=4),
@@ -118,6 +120,7 @@ def test_heterogeneous_batch_matches_homogeneous_oracles():
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_masked_identical_shapes_is_bitwise():
     """With masks supplied but nothing actually frozen (traj_len=T,
     episode_ticks=n_ticks) and the SAME batch shape, the masked path must be

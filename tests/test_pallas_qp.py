@@ -74,6 +74,7 @@ def test_solve_batch_matches_vmapped_solve():
     np.testing.assert_allclose(np.asarray(sol_bat.X), np.asarray(sol_ref.X), atol=2e-1)
 
 
+@pytest.mark.slow
 def test_fused_episode_batch_matches_vmap_of_scan():
     from mpc_quad_ros_tpu.models.params import hummingbird_params
     from mpc_quad_ros_tpu.models.augmented import make_mpc_dynamics

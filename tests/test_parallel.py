@@ -140,6 +140,7 @@ def test_fused_solve_batch_under_shard_map():
     assert np.isfinite(float(metrics["kkt_sum"]))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     """The driver-facing multi-chip dry run must compile and execute."""
     import importlib.util

@@ -25,6 +25,7 @@ why equal-convergence comparisons (warm vs cold, pipeline vs per-scenario
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -69,6 +70,7 @@ def _solve(pipe, p, x0, ref, rgp, chunk=None):
     return solver, carry, y_ref, np.concatenate(Us), np.concatenate(Xs)
 
 
+@pytest.mark.slow
 def test_three_way_pipeline_equivalence():
     p, x0, ref, rgp = _scenarios()
     solver, carry, y_ref, U_fused, X_fused = _solve("fused", p, x0, ref, rgp)

@@ -88,6 +88,7 @@ def test_steady_chain_warm6_matches_cold12():
     assert warm6 < 1e-3
 
 
+@pytest.mark.slow
 def test_duals_round_trip_batched_paths():
     """solve_batch: both the fused Pallas pipeline (B=128) and the
     per-scenario small-batch path (B=8) must thread the duals, and the warm

@@ -69,11 +69,12 @@ def main():
     from mpc_quad_ros_tpu.ops.sqp import SolverCarry, init_carry
 
     dtype = jnp.float32
-    # B=32768 measured the per-chip sweet spot on v5e-lite (1.225M vs
-    # 1.175M solves/s at B=16384, +4.2%; B=65536 is flat at 1.221M) — the
-    # fused kernel's grid amortizes per-dispatch overheads; HBM footprint is
-    # still only tens of MB since condensing lives in VMEM scratch
-    B = int(os.environ.get("BENCH_BATCH", 32768))
+    # B=65536 measured the per-chip sweet spot at round-5 HEAD on v5e-lite
+    # (1.420M solves/s vs 1.390M at B=32768 and 1.323M at 16384; B=131072
+    # is flat at 1.424M) — the faster round-5 kernels shifted the
+    # amortization point up one notch; HBM footprint is still only tens of
+    # MB since condensing lives in VMEM scratch
+    B = int(os.environ.get("BENCH_BATCH", 65536))
     iters = int(os.environ.get("BENCH_ITERS", 20))
 
     p = hummingbird_params(dtype=dtype)
@@ -148,7 +149,8 @@ def main():
     if os.environ.get("BENCH_SKIP_CLOSED") != "1":
         from mpc_quad_ros_tpu.bench.suite import closed_loop
 
-        # B=16384 episodes: 1.132M tick-solves/s vs 1.090M at B=8192 (+3.7%)
+        # B=16384 episodes: 1.281M tick-solves/s at r05 HEAD (re-swept:
+        # 32768 measures 1.250M — 16384 stays the closed-loop sweet spot)
         cb = int(os.environ.get("BENCH_CLOSED_B", 16384))
         cl = closed_loop(B=cb, v=8.0, t_max=10.0)
         closed = {

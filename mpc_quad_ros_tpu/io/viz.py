@@ -358,6 +358,88 @@ class Visualiser:
         plt.close(fig)
         return save_path
 
+    def create_rgp_full_animation(self, save_path: str, fps: int = 10,
+                                  stride: int = 10):
+        """The COMBINED layout of the reference's
+        `Visualiser.create_rgp_full_animation`
+        (`/root/reference/src/Visualiser.py:459-783`): the 3D flight path
+        and the three per-axis RGP posterior panels animate in ONE
+        synchronized figure — left: flown trajectory growing against the
+        reference with the current position marked; right column: per-axis
+        posterior mean (+-2 sigma when the covariance was logged) sweeping
+        through time over the drag samples seen so far."""
+        from matplotlib import animation
+        from matplotlib.gridspec import GridSpec
+
+        x, ref = self.d["x_odom"], self.d["x_ref"]
+        mu = np.asarray(self.d["rgp_mu_g_t"])           # (T, 3, nb)
+        vb = np.asarray(self.d["v_body"])               # (T, 3)
+        ad = np.asarray(self.d["a_drag"])               # (T, 3)
+        basis = self._basis_per_axis()
+        sig = self._posterior_sigma()                   # (T, 3, nb) | None
+        T, _, nb = mu.shape
+        xyz = ["x", "y", "z"]
+
+        fig = plt.figure(figsize=(13, 7.5), dpi=80)
+        gs = GridSpec(3, 2, width_ratios=[1.6, 1.0], figure=fig)
+        ax3 = fig.add_subplot(gs[:, 0], projection="3d")
+        ax3.plot(ref[:, 0], ref[:, 1], ref[:, 2], "--", lw=0.8,
+                 label="reference")
+        (fl_line,) = ax3.plot([], [], [], label="flown")
+        (fl_dot,) = ax3.plot([], [], [], "ro")
+        for setter, col in ((ax3.set_xlim, 0), (ax3.set_ylim, 1),
+                            (ax3.set_zlim, 2)):
+            lo, hi = ref[:, col].min(), ref[:, col].max()
+            pad = 0.1 * max(hi - lo, 1.0)
+            setter(lo - pad, hi + pad)
+        ax3.set_xlabel("x [m]"), ax3.set_ylabel("y [m]"), ax3.set_zlabel("z [m]")
+        ax3.legend(fontsize=7)
+
+        paxes, scats, lines, bands = [], [], [], [None, None, None]
+        for ax_i in range(3):
+            a = fig.add_subplot(gs[ax_i, 1])
+            paxes.append(a)
+            xb = (basis[ax_i] if basis is not None
+                  else np.linspace(np.min(vb[:, ax_i]) - 1,
+                                   np.max(vb[:, ax_i]) + 1, nb))
+            a.set_xlim(xb.min() - 0.5, xb.max() + 0.5)
+            lo = min(ad[:, ax_i].min(), mu[:, ax_i].min())
+            hi = max(ad[:, ax_i].max(), mu[:, ax_i].max())
+            pad = 0.1 * max(hi - lo, 0.1)
+            a.set_ylim(lo - pad, hi + pad)
+            scats.append(a.scatter([], [], s=3, alpha=0.4))
+            (ln,) = a.plot(xb, mu[0, ax_i], "C1.-")
+            lines.append((ln, xb))
+            a.set_ylabel(f"a_drag {xyz[ax_i]}", fontsize=8)
+            a.grid(alpha=0.3)
+        paxes[-1].set_xlabel("v_body [m/s]")
+        title = fig.suptitle("flight + RGP posterior, t=0")
+
+        def update(k):
+            fl_line.set_data(x[: k + 1, 0], x[: k + 1, 1])
+            fl_line.set_3d_properties(x[: k + 1, 2])
+            fl_dot.set_data([x[k, 0]], [x[k, 1]])
+            fl_dot.set_3d_properties([x[k, 2]])
+            for ax_i in range(3):
+                scats[ax_i].set_offsets(
+                    np.stack([vb[: k + 1, ax_i], ad[: k + 1, ax_i]], axis=1))
+                ln, xb = lines[ax_i]
+                ln.set_data(xb, mu[k, ax_i])
+                if sig is not None:
+                    if bands[ax_i] is not None:
+                        bands[ax_i].remove()
+                    bands[ax_i] = paxes[ax_i].fill_between(
+                        xb, mu[k, ax_i] - 2 * sig[k, ax_i],
+                        mu[k, ax_i] + 2 * sig[k, ax_i], alpha=0.2, color="C1")
+            title.set_text(f"flight + RGP posterior, t={k}")
+            return [fl_line, fl_dot] + scats + [ln for ln, _ in lines]
+
+        anim = animation.FuncAnimation(fig, update, frames=range(0, T, stride),
+                                       blit=False)
+        anim.save(save_path, writer=animation.PillowWriter(fps=fps))
+        plt.close(fig)
+        return save_path
+
     @staticmethod
     def compare_covariance(logs: dict, save_path: Optional[str] = None, show: bool = False):
         """cov(v, e) vs peak velocity for several runs — the gp0-vs-gp2

@@ -67,7 +67,10 @@ def test_gp1_replay_with_reference_model_files():
     recorded runs — proven by test_gp1_vintage_explanation) but must stay
     within a few percent."""
     r = replay_reference_log(GP1_LOGS[0], gp_path=GP_MODELS)
-    assert r["du_mean"] < 0.03, r
+    # tightened 0.03 -> 0.015 from the round-5 full-matrix sweep
+    # (outputs/parity/PARITY_r05.json: this log replays at du_mean 0.0100;
+    # the whole traj* gp1 family maxes at 0.0146)
+    assert r["du_mean"] < 0.015, r
 
 
 GP0_TWIN = "/root/reference/outputs/gazebo_simulation/data/traj0_v12_a12_gp0.pkl"

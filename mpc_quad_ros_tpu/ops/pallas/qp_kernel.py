@@ -35,7 +35,7 @@ WS_FLOOR = 1e-3   # warm-start dual floor (in the Jacobi-scaled system)
 
 
 def ipm_box_solve(H, g, lb, ub, zl0, zu0, *, nz: int, iters: int,
-                  warm: bool):
+                  warm: bool, panel: int = 8):
     """The lanes-batched box-QP primal-dual IPM core, shared VERBATIM by the
     three Pallas consumers (`_qp_kernel` here, the fully-fused and the
     J-fed fused SQP kernels in `sqp_fused_kernel.py`) — one definition is
@@ -84,7 +84,8 @@ def ipm_box_solve(H, g, lb, ub, zl0, zu0, *, nz: int, iters: int,
     sl = z - lb
     su = ub - z
 
-    PANEL = 8                      # panel width for the blocked Cholesky
+    PANEL = panel                  # panel width for the blocked Cholesky
+    # (8 is the measured optimum at nz=40 — r05 probe swept {4, 8, 10, 20})
     n_panels = (nz + PANEL - 1) // PANEL
 
     def ipm_iter(_, carry):

@@ -359,6 +359,10 @@ def _fused_from_J_kernel(J_ref, r_ref, dx0_ref, ex0_ref, gu_ref, lb_ref,
     panels, g = accumulate_lower(panels, g, M, ex0_ref[0, N] + d, p, nx, nu)
 
     H = assemble_mirror(panels, nz, nu, rw, dtype)
+    # NOTE (r05 probe): forcing H through a VMEM scratch round-trip here to
+    # "canonicalize" its layout was measured at 203 ms/call vs 7.0 — an
+    # SSA H is what lets Mosaic software-pipeline the IPM loop; do not
+    # materialize it.
     g = g + gu_ref[0]
     lb0 = lb_ref[0]
     ub0 = ub_ref[0]

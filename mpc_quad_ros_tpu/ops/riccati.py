@@ -28,17 +28,18 @@ lanes-batched Pallas kernel (`ops/pallas/riccati_kernel.py`, B%128==0,
 dispatched by `solve_batch(qp_method="riccati")`).
 
 Measured backend crossover (TPU v5e-lite, B=256, 12 IPM iters,
-`bench.suite --what riccati_crossover`, outputs/roofline/CROSSOVER_r04.json):
+`bench.suite --what riccati_crossover`, outputs/roofline/CROSSOVER_r05.json):
 
-    N   fused-condensed   riccati-Pallas   (us/solve)
-    10       1.16             3.38
-    20       3.64             2.71   <- crossover ~N=16-20
-    40      21.6              5.61
-    80      VMEM OOM         11.6
+    N   hybrid-condensed   riccati-Pallas   (us/solve)
+    10       0.34              1.11
+    20       2.78              1.99   <- crossover ~N=17
+    40      16.3               4.28
+    80   static VMEM guard     8.67
 
-so: keep qp_method="pdip" (fused condensed) at the reference's N=10, switch
-to qp_method="riccati" from N~20 up; beyond N~40-80 the dense H tile stops
-fitting VMEM and the sparse path is the only Pallas path.
+so: keep qp_method="pdip" (hybrid condensed) at the reference's N=10, switch
+to qp_method="riccati" from N~18 up (or just use qp_method="auto", which
+dispatches on this table); past FUSED_N_MAX=40 the dense H tile stops
+fitting VMEM and solve_batch guards + falls back to this sparse path.
 
 Equations (standard time-varying LQR with affine terms):
     P_N = Q_N,  p_N = q_N

@@ -47,6 +47,7 @@ def list_scripts():
         for g in (0, 2):
             names.append(f"viz_anim_{env}_gp{g}")
         names.append(f"viz_rgp_{env}")
+        names.append(f"viz_rgpanim_{env}")
     names.append("viz_cov")
     return names
 
@@ -82,7 +83,7 @@ def main(argv=None) -> int:
                          "-p", out.replace("/data/", "/img/").replace(".pkl", ".png"),
                          "--show", str(args.show)])
 
-    m = re.fullmatch(r"viz_(plot|3dplot|anim|rgp)_(python|gazebo)(?:_traj(\d))?(?:_gp(\d))?",
+    m = re.fullmatch(r"viz_(plot|3dplot|anim|rgpanim|rgp)_(python|gazebo)(?:_traj(\d))?(?:_gp(\d))?",
                      args.name)
     if m:
         kind, env, t, g = m.group(1), m.group(2), m.group(3), m.group(4)
@@ -104,6 +105,12 @@ def main(argv=None) -> int:
                             show=bool(args.show))
         elif kind == "anim":
             p = viz.create_animation(out or data.replace(".pkl", ".gif"))
+        elif kind == "rgpanim":
+            # the combined flight + posterior layout
+            # (`Visualiser.create_rgp_full_animation`, reference
+            # `Visualiser.py:459-783`)
+            p = viz.create_rgp_full_animation(
+                out or data.replace(".pkl", "_rgp_full.gif"))
         else:  # rgp
             p = viz.plot_rgp_evolution(save_path=out or data.replace(".pkl", "_rgp.png"),
                                        show=bool(args.show))

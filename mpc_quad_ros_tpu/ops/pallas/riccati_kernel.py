@@ -9,7 +9,7 @@ Hessians (the structure HPIPM itself exploits inside acados; reference
 VMEM and pays O((N*nu)^3/3) per IPM factorization — both explode with the
 horizon (measured: 21.6 us/solve at N=40, VMEM-OOM compile failure by N=80
 on v5e; `bench.suite --what riccati_crossover`,
-outputs/roofline/CROSSOVER_r04.json).  This kernel keeps the OCP sparse:
+outputs/roofline/CROSSOVER_r05.json).  This kernel keeps the OCP sparse:
 per 128-lane
 scenario tile it stores only the per-stage sensitivities (N, 17, nx, L) and
 runs `iters` IPM iterations, each one Riccati sweep — O(N (nx+nu)^3) compute
@@ -28,8 +28,9 @@ Layout/design (same house rules as the other kernels here):
   tangent tile J[k, c] IS column c of [A_k | B_k], so A^T-products contract
   directly over those columns with zero repacking;
 - all control flow is fixed-iteration, lane-masked (vmap/pjit friendly);
-  P is re-symmetrized every stage (computing both product orders) to stop
-  f32 asymmetry drift over long horizons.
+  P is re-symmetrized every stage (via the bitwise-exact transpose of the
+  accumulated product — NOT a second FMA sweep, see the note at the G
+  computation) to stop f32 asymmetry drift over long horizons.
 
 Numerical oracle: `ops.riccati.solve_ocp_box_riccati_ipm` (same barrier
 schedule mu = 0.1*gap, same fraction-to-the-boundary damping, same strictly

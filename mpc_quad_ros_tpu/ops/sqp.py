@@ -96,7 +96,7 @@ class MPCConfig(NamedTuple):
     # "pdip" (fused condensed Pallas pipeline) is fastest at the reference's
     # N=10; "riccati" (lanes-batched Pallas Riccati IPM, O(N) VMEM) wins
     # from N~20 and is the only Pallas path from N~80 (measured crossover:
-    # ops/riccati.py module docstring, outputs/roofline/CROSSOVER_r04.json).
+    # ops/riccati.py module docstring, outputs/roofline/CROSSOVER_r05.json).
     # "auto" picks from the measured table per path (condensed below the
     # crossover horizon, Riccati above — `_resolve_qp_method`); explicit
     # "pdip" past the condensed kernels' VMEM ceiling (N > FUSED_N_MAX)

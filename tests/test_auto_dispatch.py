@@ -86,3 +86,29 @@ def test_auto_solve_matches_explicit_backend(n_nodes, explicit):
         carry, x0, y_ref)
     np.testing.assert_array_equal(np.asarray(sol_a.U), np.asarray(sol_e.U))
     np.testing.assert_array_equal(np.asarray(sol_a.X), np.asarray(sol_e.X))
+
+
+def test_auto_thresholds_consistent_with_measured_crossover():
+    """The dispatch constants must agree with the checked-in measured
+    crossover artifact — if a re-measure moves the crossover, this fails
+    until the constants (or the artifact) are updated together."""
+    import json
+    import os
+
+    art = os.path.join(os.path.dirname(__file__), "..",
+                       "outputs", "roofline", "CROSSOVER_r05.json")
+    if not os.path.exists(art):
+        pytest.skip("crossover artifact not present")
+    rows = {r["n_nodes"]: r for r in json.load(open(art))}
+    for N, r in rows.items():
+        f = r.get("fused_us_per_solve")
+        rp = r.get("riccati_pallas_us_per_solve")
+        if f is None or rp is None:
+            continue
+        if N < AUTO_RICCATI_MIN_N_TILED:
+            assert f <= rp, (N, f, rp)
+        else:
+            assert rp <= f, (N, f, rp)
+    # the condensed kernels' ceiling row is recorded as a guard, not a crash
+    assert any(N > FUSED_N_MAX and rows[N].get("fused_us_per_solve") is None
+               and "fused_note" in rows[N] for N in rows)

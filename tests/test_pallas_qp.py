@@ -115,3 +115,40 @@ def test_fused_episode_batch_matches_vmap_of_scan():
     np.testing.assert_allclose(
         np.asarray(o_fus.x_odom[0]), np.asarray(o_fus.x_odom[0]), atol=0
     )
+
+
+def test_nan_lane_isolation_in_tiled_solve():
+    """Production robustness (SURVEY §7 'one bad scenario cannot stall the
+    lane'): a NaN scenario inside a 128-lane tile must not perturb ANY
+    other lane — every kernel op is lanes-vectorized and every reduction
+    (fraction-to-the-boundary, duality gap) is per-lane.  Pinned BITWISE:
+    poisoning lane 7 leaves all other lanes' controls identical to the
+    clean batch."""
+    from mpc_quad_ros_tpu.models.augmented import make_mpc_dynamics
+    from mpc_quad_ros_tpu.models.params import hummingbird_params
+    from mpc_quad_ros_tpu.models.rgp import rgp_init
+    from mpc_quad_ros_tpu.ops import MPCConfig, SQPSolver
+    from mpc_quad_ros_tpu.ops.sqp import init_carry
+
+    B = 128
+    p = hummingbird_params(dtype=DT)
+    cfg = MPCConfig(u_ref=float(p.hover_input), qp_iters=6)
+    solver = SQPSolver(cfg, make_mpc_dynamics(p))
+    rgp1 = rgp_init(jnp.linspace(-10, 10, 10, dtype=DT), theta=(3.0, 0.1, 0.01))
+    rgp = jax.tree.map(lambda a: jnp.broadcast_to(a, (B, 3) + a.shape), rgp1)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((B, 13), DT).at[:, 3].set(1.0).at[:, 2].set(3.0)
+    x0 = x0.at[:, 7:10].add(jax.random.uniform(key, (B, 3), DT, -2, 2))
+    y_ref = jnp.broadcast_to(x0[:, None, :], (B, cfg.n_nodes, 13))
+    carry = jax.vmap(lambda x: init_carry(cfg, x))(x0)
+
+    _, sol_clean = solver.solve_batch(carry, x0, y_ref, y_ref[:, -1], rgp)
+
+    x0_bad = x0.at[7, 8].set(jnp.nan)
+    carry_bad = jax.vmap(lambda x: init_carry(cfg, x))(x0_bad)
+    _, sol_bad = solver.solve_batch(carry_bad, x0_bad, y_ref, y_ref[:, -1], rgp)
+
+    U_c, U_b = np.asarray(sol_clean.U), np.asarray(sol_bad.U)
+    assert np.isnan(U_b[7]).any()                 # the poison reached lane 7
+    mask = np.arange(B) != 7
+    np.testing.assert_array_equal(U_b[mask], U_c[mask])

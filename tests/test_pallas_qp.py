@@ -117,6 +117,7 @@ def test_fused_episode_batch_matches_vmap_of_scan():
     )
 
 
+@pytest.mark.slow
 def test_nan_lane_isolation_in_tiled_solve():
     """Production robustness (SURVEY §7 'one bad scenario cannot stall the
     lane'): a NaN scenario inside a 128-lane tile must not perturb ANY
